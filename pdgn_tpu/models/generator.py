@@ -1,0 +1,281 @@
+"""Progressive point-cloud generator (PointGenerator).
+
+TPU-native re-design of the reference generator
+(models/PDGNet_v2.py:439-877): a 128-d noise vector is lifted to a 32x128
+feature cloud and pushed through four "bilateral" upsampling blocks, each
+doubling the point count (128 -> 256 -> 512 -> 1024 -> 2048) and emitting a
+coordinate head at 256/512/1024/2048 points.
+
+Differences from the reference implementation (behaviour preserved):
+
+* channel-last layout ``(B, N, C)`` — every 1x1 conv becomes a Dense over
+  the lane axis (one MXU matmul per layer);
+* the kNN edge gather is one batched ``take_along_axis`` instead of a
+  per-sample Python loop (reference models/PDGNet_v2.py:463-469);
+* the full-width ``[1, 2k]`` merge conv is expressed as a single GEMM over
+  the flattened ``(2k * 2Fin)`` edge features;
+* the channel-to-point "pixel shuffle" (reference :583-585) is a reshape/
+  transpose with identical index semantics (point ``j*N+n`` gets output
+  channel pair member ``j``).
+
+The v2 network always applies softmax neighbour weighting regardless of the
+CLI flag (reference models/PDGNet_v2.py:95 drops the arg); v1 passes it
+through (models/PDGNet.py:95). Use ``softmax=False`` for the v1 behaviour
+with ``--softmax False``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pdgn_tpu.models.layers import (
+    BatchNorm,
+    MLP,
+    TorchDense,
+    leaky_relu,
+    torch_bias_uniform,
+    torch_kaiming_uniform,
+)
+from pdgn_tpu.ops.edges import edge_features, edge_features_xyz
+
+
+def _interleave_halves(inte: jnp.ndarray, two_fin: int) -> jnp.ndarray:
+    """Reference channel-split/interleave of the windowed-conv output.
+
+    Maps ``(B, N, k/2, 4Fin)`` to ``(B, N, k, 2Fin)`` with the exact index
+    semantics of reference models/PDGNet_v2.py:574-578: conv output channel
+    ``c*2 + j`` at window position ``w`` becomes channel ``c`` at neighbour
+    slot ``j*(k/2) + w``.
+    """
+    B, N, half_k, four_fin = inte.shape
+    r = inte.reshape(B, N, half_k, two_fin, 2)       # split ch -> (c, j)
+    r = r.transpose(0, 1, 4, 2, 3)                   # (B, N, j, w, c)
+    return r.reshape(B, N, 2 * half_k, two_fin)      # k slot = j*half_k + w
+
+
+def _point_pixel_shuffle(y: jnp.ndarray) -> jnp.ndarray:
+    """Channel-pair -> point doubling (reference models/PDGNet_v2.py:583-585).
+
+    ``(B, N, 2*Fout)`` -> ``(B, 2N, Fout)``; output channel ``f*2 + j`` of
+    point ``n`` becomes point ``j*N + n`` (block layout, not interleaved).
+    """
+    B, N, two_fout = y.shape
+    fout = two_fout // 2
+    r = y.reshape(B, N, fout, 2)                     # ch -> (f, j)
+    r = r.transpose(0, 3, 1, 2)                      # (B, j, N, f)
+    return r.reshape(B, 2 * N, fout)
+
+
+class _WindowConv(nn.Module):
+    """``inte_conv_hk``: Conv over a (k//2+1) neighbour window + BN + LReLU.
+
+    Reference models/PDGNet_v2.py:561-565 / :621-625. Input
+    ``(B, N, k, 2Fin)``; VALID conv along the neighbour axis produces
+    ``(B, N, k/2, 4Fin)``.
+    """
+
+    four_fin: int
+    window: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, e):
+        fan_in = e.shape[-1] * self.window
+        y = nn.Conv(
+            self.four_fin,
+            kernel_size=(1, self.window),
+            padding="VALID",
+            kernel_init=torch_kaiming_uniform(),
+            bias_init=torch_bias_uniform(fan_in),
+            name="conv",
+        )(e)
+        y = BatchNorm(axis_name=self.axis_name)(y)
+        return leaky_relu(y)
+
+
+class UpsampleEdgeConv(nn.Module):
+    """Point-doubling edge convolution (reference ``upsample_edgeConv``,
+    models/PDGNet_v2.py:547-588). ``(B, N, Fin)`` -> ``(B, 2N, Fout)``."""
+
+    fin: int
+    fout: int
+    k: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, _ = x.shape
+        e = edge_features(x, self.k)                          # (B,N,k,2Fin)
+        inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
+                           axis_name=self.axis_name)(e)       # (B,N,k/2,4Fin)
+        inte = _interleave_halves(inte, 2 * self.fin)         # (B,N,k,2Fin)
+        merge = jnp.concatenate([e, inte], axis=2)            # (B,N,2k,2Fin)
+        flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
+        # conv2dbr: full-width [1, 2k] conv == one GEMM; BN + plain ReLU
+        y = TorchDense(2 * self.fout)(flat)
+        y = BatchNorm(axis_name=self.axis_name)(y)
+        y = nn.relu(y)
+        return _point_pixel_shuffle(y)                        # (B,2N,Fout)
+
+
+class BilateralUpsampleEdgeConv(nn.Module):
+    """Bilaterally-weighted point-doubling edge convolution.
+
+    Reference ``bilateral_upsample_edgeConv`` (models/PDGNet_v2.py:590-650):
+    the interpolated neighbour features are gated by a weight net driven by
+    both feature-space and xyz-space edge features before the merge conv.
+    """
+
+    fin: int
+    fout: int
+    k: int
+    softmax: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pc):
+        B, N, _ = x.shape
+        e_fea, e_xyz = edge_features_xyz(x, pc, self.k)
+        # weight net: conv_fea(e_fea) * conv_xyz(e_xyz) -> conv_all
+        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fea")(
+            TorchDense(16, name="conv_fea")(e_fea)))
+        w_xyz = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_xyz")(
+            TorchDense(16, name="conv_xyz")(e_xyz)))
+        w = w_fea * w_xyz
+        w = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_all1")(
+            TorchDense(64, name="conv_all1")(w)))
+        w = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_all2")(
+            TorchDense(2 * self.fin, name="conv_all2")(w)))
+        if self.softmax:
+            # reference softmaxes over the neighbour axis (torch dim=-1 on
+            # (B, C, N, K)); here the neighbour axis is 2
+            w = nn.softmax(w, axis=2)
+
+        inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
+                           axis_name=self.axis_name)(e_fea)
+        inte = _interleave_halves(inte, 2 * self.fin)
+        inte = inte * w
+        merge = jnp.concatenate([e_fea, inte], axis=2)
+        flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
+        y = TorchDense(2 * self.fout)(flat)
+        y = BatchNorm(axis_name=self.axis_name)(y)
+        y = nn.relu(y)
+        return _point_pixel_shuffle(y)
+
+
+class _GlobalBranch(nn.Module):
+    """Max-pool -> fc stack shared by all bilateral blocks.
+
+    Reference ``fc`` + ``g_fc`` submodules (models/PDGNet_v2.py:682-694).
+    Returns ``xs (B, Fout)`` and optionally ``g (B, 512)``.
+    """
+
+    fin: int
+    fout: int
+    with_g: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        xs = jnp.max(x, axis=1)                               # (B, Fin)
+        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fc1")(
+            TorchDense(self.fin, name="fc1")(xs)))
+        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fc2")(
+            TorchDense(self.fout, name="fc2")(xs)))
+        if not self.with_g:
+            return xs, None
+        g = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_g")(
+            TorchDense(512, name="g_fc")(xs)))
+        return xs, g
+
+
+class BilateralBlock(nn.Module):
+    """One progressive stage (reference ``bilateral_block_l{1..4}``,
+    models/PDGNet_v2.py:672-818).
+
+    Stage 1 uses the plain :class:`UpsampleEdgeConv`; stages 2-4 use the
+    bilateral variant conditioned on the previous coordinate head. Stage 4
+    has no global ``g`` branch.
+    """
+
+    fin: int
+    fout: int
+    k: int
+    bilateral: bool = True
+    with_g: bool = True
+    softmax: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pc=None):
+        B, N, _ = x.shape
+        xs, g = _GlobalBranch(self.fin, self.fout, with_g=self.with_g,
+                              axis_name=self.axis_name)(x)
+        if self.bilateral:
+            x_ec = BilateralUpsampleEdgeConv(
+                self.fin, self.fout, self.k, softmax=self.softmax,
+                axis_name=self.axis_name, name="upsample_cov")(x, pc)
+        else:
+            x_ec = UpsampleEdgeConv(
+                self.fin, self.fout, self.k,
+                axis_name=self.axis_name, name="upsample_cov")(x)
+        # post-upsample BN + LeakyReLU (reference wraps the edge conv in
+        # Sequential(BatchNorm1d, LeakyReLU) / bn_uc+relu_uc)
+        x_ec = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_uc")(x_ec))
+
+        xs_t = jnp.broadcast_to(xs[:, None, :], (B, 2 * N, self.fout))
+        x_out = jnp.concatenate([xs_t, x_ec], axis=-1)
+        if not self.with_g:
+            return x_out, None
+        g_t = jnp.broadcast_to(g[:, None, :], (B, 2 * N, 512))
+        g_out = jnp.concatenate([g_t, x_ec], axis=-1)
+        return x_out, g_out
+
+
+class PointGenerator(nn.Module):
+    """128-d noise -> four point clouds (B,256,3)...(B,2048,3).
+
+    Reference ``PointGenerator`` (models/PDGNet_v2.py:820-877). Channel
+    schedule 32 -> 64 -> 128 -> 256 -> 512(concat); point schedule
+    128 -> 256 -> 512 -> 1024 -> 2048; ``num_k`` is halved inside blocks.
+    """
+
+    num_point: int = 2048
+    num_k: int = 20
+    softmax: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, z) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B = z.shape[0]
+        k = self.num_k // 2
+        an = self.axis_name
+
+        x = TorchDense(4096, name="fc1")(z)
+        x = BatchNorm(axis_name=an, name="fc1_bn")(x)
+        x = leaky_relu(x)
+        # torch view(B, 32, 128) is (channel, point); transpose to (B, N, C)
+        x = x.reshape(B, 32, 128).transpose(0, 2, 1)
+
+        b1 = BilateralBlock(32, 32, k, bilateral=False, axis_name=an,
+                            name="bilateral1")
+        b2 = BilateralBlock(64, 64, k, softmax=self.softmax, axis_name=an,
+                            name="bilateral2")
+        b3 = BilateralBlock(128, 128, k, softmax=self.softmax, axis_name=an,
+                            name="bilateral3")
+        b4 = BilateralBlock(256, 256, k, with_g=False,
+                            softmax=self.softmax, axis_name=an,
+                            name="bilateral4")
+
+        x1, g1 = b1(x)                       # (B,256,64), (B,256,544)
+        x1s = MLP([256, 64, 3], name="mlp1")(g1)
+        x2, g2 = b2(x1, x1s)                 # (B,512,128), (B,512,576)
+        x2s = MLP([256, 64, 3], name="mlp2")(g2)
+        x3, g3 = b3(x2, x2s)                 # (B,1024,256), (B,1024,640)
+        x3s = MLP([256, 64, 3], name="mlp3")(g3)
+        x4, _ = b4(x3, x3s)                  # (B,2048,512)
+        x4s = MLP([256, 64, 3], name="mlp4")(x4)
+        return x1s, x2s, x3s, x4s

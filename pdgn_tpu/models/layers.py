@@ -1,0 +1,148 @@
+"""Shared NN building blocks (flax.linen, channel-last).
+
+TPU-native equivalents of the reference layer helpers:
+``conv2dbr``/``conv1dbr``/``fcbr`` (reference utils/nn_utils.py:10-74 and
+models/PDGNet_v2.py:530-545). In channel-last layout every 1x1 conv is a
+``Dense`` over the trailing axis — a single MXU matmul over the flattened
+(batch, points) rows.
+
+Initialisation matches torch defaults (kaiming-uniform with a=sqrt(5) for
+weights, fan-in uniform for biases) so training dynamics are comparable to
+the reference.
+
+BatchNorm matches torch semantics: eps 1e-5, running-stat momentum 0.1,
+and — critically — *batch statistics are used at all times*, because the
+reference never calls ``.eval()``: its test phase runs BN in training mode
+(reference models/PDGNet_v2.py:302-307 generates with the module still in
+train mode). ``axis_name`` enables cross-replica (sync) batch norm — the
+TPU equivalent of the vendored-but-unused lib/sync_bn (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def torch_kaiming_uniform(fan_in_axes: Optional[Sequence[int]] = None):
+    """torch's default ``kaiming_uniform_(a=sqrt(5))`` weight init.
+
+    Reduces to ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax Dense kernels are (in, out); convs are (*window, in, out)
+        fan_in = 1
+        for d in shape[:-1]:
+            fan_in *= d
+        bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1.0))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_uniform(fan_in: int):
+    """torch's default bias init: ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / (fan_in ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """``nn.Linear``-compatible Dense (torch default init)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kaiming_uniform(),
+            bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch norm over all axes but the last.
+
+    Always normalises with the *current batch* statistics (the reference
+    never switches BN to eval mode); running averages are still tracked in
+    the ``batch_stats`` collection for checkpoint parity. When
+    ``axis_name`` is set the batch statistics are additionally averaged
+    across that mapped/sharded axis — the sync-BN equivalent.
+    """
+
+    momentum: float = 0.9  # flax convention == torch momentum 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=False,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class DenseBR(nn.Module):
+    """Dense + BN + activation (== reference ``fcbr``/``conv1dbr``).
+
+    A 1x1 Conv1d over channel-last data *is* a Dense over the last axis, so
+    this one block covers both reference helpers.
+    """
+
+    features: int
+    negative_slope: Optional[float] = None  # None -> plain ReLU
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchDense(self.features, dtype=self.dtype)(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x)
+        if self.negative_slope is None:
+            return nn.relu(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    """torch-default LeakyReLU (slope 0.01)."""
+    return nn.leaky_relu(x, negative_slope)
+
+
+class MLP(nn.Module):
+    """Stack of Dense layers with LeakyReLU between (no BN).
+
+    Matches the reference coordinate heads ``mlp1..4``
+    (models/PDGNet_v2.py:835-862): Conv1d(1x1) + LeakyReLU pairs with a
+    final biased Conv1d(1x1) projection.
+    """
+
+    features: Sequence[int]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for f in self.features[:-1]:
+            x = TorchDense(f, dtype=self.dtype)(x)
+            x = leaky_relu(x)
+        return TorchDense(self.features[-1], dtype=self.dtype)(x)

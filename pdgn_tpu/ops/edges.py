@@ -1,0 +1,69 @@
+"""kNN edge features for graph convolutions — the generator's hot op.
+
+TPU-native equivalent of reference ``get_edge_features`` /
+``get_edge_features_xyz`` (models/PDGNet_v2.py:439-528). The reference
+materialises a (B, N, N) distance matrix, runs a full ``torch.sort`` and
+then gathers neighbours with a *per-sample Python loop* — the single
+biggest inefficiency on its training path (SURVEY.md §3.1). Here the
+distance matrix is an MXU matmul, selection is ``lax.top_k`` and the
+gather is one batched ``take_along_axis``.
+
+Neighbour selection semantics match the reference exactly: columns
+``1..k`` of the ascending distance ordering, i.e. the row minimum (the
+point itself) is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from pdgn_tpu.ops.grouping import grouping
+from pdgn_tpu.ops.knn import knn_exclude_first
+from pdgn_tpu.ops.pairwise import self_pairwise_sqdist
+
+
+def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Edge features ``[central, neighbour - central]`` in feature space.
+
+    Args:
+      x: ``(B, N, C)`` point features (channel-last).
+      k: number of neighbours.
+
+    Returns:
+      ``(B, N, k, 2C)``.
+    """
+    dist = self_pairwise_sqdist(x)                      # (B, N, N)
+    idx = knn_exclude_first(dist, k)                    # (B, N, k)
+    neighbors = grouping(x, idx)                        # (B, N, k, C)
+    central = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([central, neighbors - central], axis=-1)
+
+
+def edge_features_xyz(
+    x: jnp.ndarray, pc: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge features plus the matching xyz edge features.
+
+    The kNN graph is built in *feature* space (as in the reference,
+    models/PDGNet_v2.py:479-528); coordinates are gathered with the same
+    neighbour indices.
+
+    Args:
+      x: ``(B, N, C)`` features.
+      pc: ``(B, N, 3)`` coordinates.
+      k: number of neighbours.
+
+    Returns:
+      ``e_fea (B, N, k, 2C)`` and ``e_xyz (B, N, k, 6)``.
+    """
+    dist = self_pairwise_sqdist(x)
+    idx = knn_exclude_first(dist, k)
+    nbr_fea = grouping(x, idx)
+    nbr_xyz = grouping(pc, idx)
+    central_fea = jnp.broadcast_to(x[:, :, None, :], nbr_fea.shape)
+    central_xyz = jnp.broadcast_to(pc[:, :, None, :], nbr_xyz.shape)
+    e_fea = jnp.concatenate([central_fea, nbr_fea - central_fea], axis=-1)
+    e_xyz = jnp.concatenate([central_xyz, nbr_xyz - central_xyz], axis=-1)
+    return e_fea, e_xyz
