@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (main.py:12-42): same flags, same phases, same
+directory layout (checkpoint/<model_dir>/<network>/..., results/GEN_Ours_*),
+same random-seed-per-train-run behaviour, and the train-phase backup of the
+entry script into the checkpoint dir (main.py:97-99).
+
+The reference's ``--phase cls`` dispatches to an undefined method
+(``extract_feature``, main.py:108-109 — dead code); here it exits with an
+explicit message instead of an AttributeError.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    desc = "PDGN-TPU: progressive point-cloud GAN (JAX/TPU)"
+    parser = argparse.ArgumentParser(description=desc)
+    parser.add_argument('--phase', type=str, default='train',
+                        help='train or test ?')
+    parser.add_argument('--workers', type=int, default=4,
+                        help='(accepted for parity; host loader is threaded)')
+    parser.add_argument('--gpu', type=int, default=0,
+                        help='(accepted for parity; devices come from JAX)')
+    parser.add_argument('--batch_size', type=int, default=50)
+    parser.add_argument('--num_point', type=int, default=2048)
+    parser.add_argument('--num_k', type=int, default=20,
+                        help='number of the knn graph point')
+    parser.add_argument('--learning_rate', type=float, default=0.0001)
+    parser.add_argument('--max_epoch', type=int, default=300)
+    parser.add_argument('--noise_dim', type=int, default=128)
+    parser.add_argument('--optimizer', default='adam')
+    parser.add_argument('--debug', type=bool, default=True)
+    parser.add_argument('--data_root',
+                        default='/opt/data/private/shapenet/shapenet.hdf5')
+    parser.add_argument('--log_info', default='log_info.txt')
+    parser.add_argument('--model_dir', help='model dir [must input]')
+    parser.add_argument('--checkpoint_dir', default='checkpoint')
+    parser.add_argument('--snapshot', type=int, default=20)
+    parser.add_argument('--choice', default=None, help='choice class')
+    parser.add_argument('--network', default=None,
+                        help='PDGNet or PDGNet_v2')
+    parser.add_argument('--savename', default=None)
+    parser.add_argument('--pretrain_model_G', default=None)
+    parser.add_argument('--pretrain_model_D', default=None)
+    parser.add_argument('--softmax', default='True')
+    parser.add_argument('--dataset', default='shapenet15k',
+                        help='[shapenet15k, modelnet10, modelnet40, synthetic]')
+    parser.add_argument('--normalize', type=str, default='shape_bbox',
+                        choices=[None, 'shape_unit', 'shape_bbox'])
+    parser.add_argument('--seed', type=int, default=9999)
+    parser.add_argument('--save_dir', type=str, default='./results')
+    parser.add_argument('--device', type=str, default='tpu',
+                        help='(accepted for parity)')
+    parser.add_argument('--max_steps_per_epoch', type=int, default=None,
+                        help='debug cap on batches per epoch')
+    parser.add_argument('--synthetic_size', type=int, default=64)
+    return check_args(parser.parse_args(argv))
+
+
+def check_folder(d: str) -> str:
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def check_args(args: argparse.Namespace) -> argparse.Namespace:
+    if args.model_dir is None:
+        print('please create model dir')
+        sys.exit(1)
+    if args.network is None:
+        print('please select model!!!')
+        sys.exit(1)
+    check_folder(args.checkpoint_dir)
+    check_folder(os.path.join(args.checkpoint_dir, args.model_dir))
+    assert args.max_epoch >= 1
+    assert args.batch_size >= 1
+    return args
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    # random seed per train run, like the reference (main.py:79-82);
+    # the test phase re-seeds deterministically inside the trainer.
+    args.manualSeed = random.randint(1, 10000)
+    print("Random Seed: ", args.manualSeed)
+    random.seed(args.manualSeed)
+    np.random.seed(args.manualSeed)
+
+    from pdgn_tpu.train import ExperimentConfig, PDGNTrainer
+
+    print(f'****************network: {args.network}****************')
+    if args.network not in ('PDGNet', 'PDGNet_v2'):
+        print('select model error!!!')
+        sys.exit(1)
+
+    cfg = ExperimentConfig(
+        network=args.network,
+        phase=args.phase,
+        batch_size=args.batch_size,
+        num_point=args.num_point,
+        num_k=args.num_k,
+        learning_rate=args.learning_rate,
+        max_epoch=args.max_epoch,
+        noise_dim=args.noise_dim,
+        data_root=args.data_root,
+        log_info=args.log_info,
+        model_dir=args.model_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        snapshot=args.snapshot,
+        choice=args.choice,
+        pretrain_model_G=args.pretrain_model_G,
+        pretrain_model_D=args.pretrain_model_D,
+        softmax=(args.softmax == 'True'),
+        dataset=args.dataset,
+        normalize=args.normalize,
+        seed=args.seed,
+        save_dir=args.save_dir,
+        synthetic_size=args.synthetic_size,
+        max_steps_per_epoch=args.max_steps_per_epoch,
+    )
+    trainer = PDGNTrainer(cfg)
+    trainer.build_model()
+
+    if args.phase == 'train':
+        # back up the entry script into the checkpoint dir (reference
+        # main.py:97-99 shells out to cp; same effect, no shell)
+        dst = os.path.join(args.checkpoint_dir, args.model_dir)
+        try:
+            shutil.copy(os.path.abspath(sys.argv[0]), dst)
+        except (OSError, shutil.SameFileError):
+            pass
+        trainer.train()
+        print(" [*] Training finished!")
+    elif args.phase == 'test':
+        trainer.test()
+        print(" [*] Test finished!")
+    elif args.phase == 'cls':
+        print(" [!] phase 'cls' maps to extract_feature(), which the "
+              "reference never defines (dead phase, main.py:108-109); "
+              "nothing to run.")
+        sys.exit(1)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,74 @@
+"""Device-feeding loader: host batching + double-buffered transfer.
+
+Replaces the reference's torch ``DataLoader(num_workers=4)`` process pool
+(models/PDGNet_v2.py:78). On TPU the right structure is: slice batches on
+the host (numpy), then keep one batch in flight to the device while the
+current step runs — ``device_put`` below overlaps with compute because JAX
+dispatch is asynchronous.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Iterator, Optional
+
+import jax
+
+from pdgn_tpu.data.shapenet import batch_iterator
+
+
+def split_sizes(dataset_len: int, train_ratio: float, val_ratio: float):
+    """Train/val/test sizes (reference utils/data.py:5-13)."""
+    train = int(dataset_len * train_ratio)
+    val = int(dataset_len * val_ratio)
+    return train, val, dataset_len - train - val
+
+
+def get_data_iterator(iterable) -> Iterator:
+    """Infinite iterator over an epoch iterable (reference utils/data.py:25-34)."""
+    while True:
+        for item in iterable:
+            yield item
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Run the host iterator in a thread and keep ``size`` batches in flight.
+
+    Args:
+      iterator: yields tuples of numpy arrays (trailing non-array elements
+        such as category strings are passed through untouched).
+      sharding: optional ``jax.sharding.Sharding`` for the device arrays.
+    """
+    q: Queue = Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        for batch in iterator:
+            put = tuple(
+                jax.device_put(x, sharding) if hasattr(x, "shape") else x
+                for x in batch
+            )
+            q.put(put)
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def train_loader(
+    dataset,
+    batch_size: int,
+    seed: Optional[int] = None,
+    sharding=None,
+    prefetch: int = 2,
+):
+    """One epoch of device-ready 4-resolution batches."""
+    it = batch_iterator(dataset, batch_size, shuffle=True, drop_last=True,
+                        seed=seed)
+    return prefetch_to_device(it, size=prefetch, sharding=sharding)

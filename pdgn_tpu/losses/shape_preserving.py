@@ -1,0 +1,101 @@
+"""Shape-preserving multi-resolution consistency loss.
+
+TPU-native equivalent of the reference trainer's ``get_local_pair`` /
+``compute_mean_covariance`` (models/PDGNet_v2.py:127-155): for a pair of
+generated resolutions, group each cloud's 20-NN neighbourhoods around the
+*coarser* cloud's points, reduce each neighbourhood to its mean and 3x3
+covariance, and penalise the Chamfer distance between the two statistic
+sets (normalised by the coarse point count).
+
+The kNN + gather + covariance chain is one fused XLA program: pairwise
+matmul (MXU) -> top-k -> batched gather -> small einsum, with the
+scatter-add backward supplied by autodiff (the reference needed the
+custom grouping CUDA backward for this).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pdgn_tpu.losses.chamfer import chamfer_loss
+from pdgn_tpu.ops.grouping import group_xyz
+
+
+def compute_mean_covariance(
+    grouped: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean and covariance of each neighbourhood.
+
+    Args:
+      grouped: ``(B, M, K, 3)`` neighbourhood coordinates.
+
+    Returns:
+      ``mu (B, M, 3)`` and ``cov (B, M, 3, 3)`` with the reference's
+      ``1/K`` (biased) normalisation.
+    """
+    K = grouped.shape[2]
+    mu = jnp.mean(grouped, axis=2)
+    d = grouped - mu[:, :, None, :]
+    cov = jnp.einsum(
+        "bmki,bmkj->bmij", d, d,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / float(K)
+    return mu, cov
+
+
+def get_local_pair(
+    pt1: jnp.ndarray,
+    pt2: jnp.ndarray,
+    nsample: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local-statistics Chamfer pair for two resolutions of one shape.
+
+    Both neighbourhood sets are centred on ``pt1`` (the coarser cloud),
+    matching reference models/PDGNet_v2.py:136-155; the kNN *includes* the
+    query point (reference knnquery semantics).
+
+    Args:
+      pt1: ``(B, M, 3)`` coarser generated cloud (channel-last).
+      pt2: ``(B, N, 3)`` finer generated cloud.
+
+    Returns:
+      ``(like_mu, like_cov)`` scalars, each a sum-reduced Chamfer distance
+      divided by ``M``.
+    """
+    M = pt1.shape[1]
+    g1 = group_xyz(pt1, pt1, nsample=nsample)        # (B, M, K, 3)
+    g2 = group_xyz(pt2, pt1, nsample=nsample)        # (B, M, K, 3)
+    mu1, cov1 = compute_mean_covariance(g1)
+    mu2, cov2 = compute_mean_covariance(g2)
+    B = pt1.shape[0]
+    like_mu = chamfer_loss(mu1, mu2) / float(M)
+    like_cov = chamfer_loss(
+        cov1.reshape(B, M, 9), cov2.reshape(B, M, 9)
+    ) / float(M)
+    return like_mu, like_cov
+
+
+def shape_preserving_loss(
+    clouds: Tuple[jnp.ndarray, ...],
+    nsample: int = 20,
+    mu_weight: float = 1.0,
+    cov_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Sum of local-statistics losses over all resolution pairs.
+
+    The reference evaluates the 6 pairs (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
+    (models/PDGNet_v2.py:232-237) and weights mu/cov terms per network
+    version: v2 uses 1.0/1.0 (``:251-252``), v1 uses 1.0/5.0
+    (models/PDGNet.py:262-263).
+    """
+    mu_total = 0.0
+    cov_total = 0.0
+    for i in range(len(clouds)):
+        for j in range(i + 1, len(clouds)):
+            like_mu, like_cov = get_local_pair(clouds[i], clouds[j], nsample)
+            mu_total = mu_total + like_mu
+            cov_total = cov_total + like_cov
+    return mu_weight * mu_total + cov_weight * cov_total

@@ -1,0 +1,62 @@
+"""PointNet-style per-resolution discriminators.
+
+TPU-native equivalents of reference ``PointDiscriminator_{1..4}``
+(models/PDGNet_v2.py:882-1023): a shared 1x1-conv MLP (Dense over the
+channel-last lane axis) + BN + LeakyReLU, a global max-pool over the point
+axis, and an FC head to a single logit. One discriminator per resolution
+(256 / 512 / 1024 / 2048 points) with widths:
+
+  D1: 3-64-128-256        head 256-128-64-1
+  D2: 3-64-128-256-512    head 512-256-64-1
+  D3: 3-64-128-256-512    head 512-256-64-1
+  D4: 3-64-128-256-1024   head 1024-512-256-64-1
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pdgn_tpu.models.layers import DenseBR, TorchDense, leaky_relu
+
+
+class PointDiscriminator(nn.Module):
+    """Shared implementation parameterised by the conv/head widths."""
+
+    conv_features: Sequence[int]
+    head_features: Sequence[int]
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``x (B, N, 3)`` -> logits ``(B, 1)``."""
+        for i, f in enumerate(self.conv_features):
+            x = DenseBR(f, negative_slope=0.01, axis_name=self.axis_name,
+                        name=f"conv{i+1}")(x)
+        x = jnp.max(x, axis=1)                       # global max over points
+        for i, f in enumerate(self.head_features[:-1]):
+            x = TorchDense(f, name=f"fc{i+1}")(x)
+            x = leaky_relu(x)
+        return TorchDense(self.head_features[-1], name="fc_out")(x)
+
+
+def PointDiscriminator1(axis_name: Optional[str] = None) -> PointDiscriminator:
+    """256-point discriminator (reference models/PDGNet_v2.py:882-913)."""
+    return PointDiscriminator((64, 128, 256), (128, 64, 1), axis_name)
+
+
+def PointDiscriminator2(axis_name: Optional[str] = None) -> PointDiscriminator:
+    """512-point discriminator (reference models/PDGNet_v2.py:915-949)."""
+    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name)
+
+
+def PointDiscriminator3(axis_name: Optional[str] = None) -> PointDiscriminator:
+    """1024-point discriminator (reference models/PDGNet_v2.py:951-985)."""
+    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name)
+
+
+def PointDiscriminator4(axis_name: Optional[str] = None) -> PointDiscriminator:
+    """2048-point discriminator (reference models/PDGNet_v2.py:987-1023)."""
+    return PointDiscriminator((64, 128, 256, 1024), (512, 256, 64, 1), axis_name)

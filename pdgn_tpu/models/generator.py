@@ -247,6 +247,10 @@ class PointGenerator(nn.Module):
     num_k: int = 20
     softmax: bool = True
     axis_name: Optional[str] = None
+    # first-stage point count; 128 reproduces the reference (fc1 -> 4096 =
+    # 32ch x 128pts). Smaller values shrink every stage proportionally —
+    # used by smoke tests; must stay > num_k // 2.
+    base_points: int = 128
 
     @nn.compact
     def __call__(self, z) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -254,11 +258,11 @@ class PointGenerator(nn.Module):
         k = self.num_k // 2
         an = self.axis_name
 
-        x = TorchDense(4096, name="fc1")(z)
+        x = TorchDense(32 * self.base_points, name="fc1")(z)
         x = BatchNorm(axis_name=an, name="fc1_bn")(x)
         x = leaky_relu(x)
         # torch view(B, 32, 128) is (channel, point); transpose to (B, N, C)
-        x = x.reshape(B, 32, 128).transpose(0, 2, 1)
+        x = x.reshape(B, 32, self.base_points).transpose(0, 2, 1)
 
         b1 = BilateralBlock(32, 32, k, bilateral=False, axis_name=an,
                             name="bilateral1")

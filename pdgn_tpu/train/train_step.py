@@ -1,0 +1,256 @@
+"""The jitted GAN train step: 4 discriminator updates + 1 generator update.
+
+TPU-native re-architecture of the reference per-batch loop
+(models/PDGNet_v2.py:157-256). The reference issues 9 network forwards and
+5 backwards as separate CUDA launches with host round-trips between them;
+here the whole step — noise sampling, generator forwards, all four
+discriminator updates, the 6-pair shape-preserving loss and the generator
+update — is one XLA program. Data parallelism comes from sharding the
+batch axis of the inputs over a mesh (see pdgn_tpu.parallel.mesh); no
+explicit collectives are needed.
+
+Semantics preserved from the reference:
+
+* D_i sees real and detached-fake in *separate* forwards (two BN batches,
+  in that order) — models/PDGNet_v2.py:185-186;
+* the generator runs twice per step with *fresh* noise for the G update
+  (:178 and :228), both forwards updating its BN running stats;
+* the G update flows through the discriminators *after* their parameter
+  update, using the fakes' own batch statistics;
+* training noise is N(0, 0.2^2) (:178); losses/weights per §3.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pdgn_tpu.losses.gan import g_adv_loss, mse_loss
+from pdgn_tpu.losses.shape_preserving import get_local_pair
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Loss weights / hyperparameters (v2 defaults).
+
+    v1 (reference models/PDGNet.py:262-265): ``cov_weight=5.0``,
+    ``similar_weight=0.5``. v2 (models/PDGNet_v2.py:250-253):
+    ``cov_weight=1.0``, ``similar_weight=0.1``.
+    """
+
+    learning_rate: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    noise_dim: int = 128
+    noise_sigma: float = 0.2
+    adv_weights: Tuple[float, float, float, float] = (1.2, 1.2, 1.2, 1.0)
+    mu_weight: float = 1.0
+    cov_weight: float = 1.0
+    similar_weight: float = 0.1
+    shape_nsample: int = 20
+
+    @classmethod
+    def v1(cls, **kw) -> "TrainConfig":
+        kw.setdefault("cov_weight", 5.0)
+        kw.setdefault("similar_weight", 0.5)
+        return cls(**kw)
+
+
+class NetState(flax.struct.PyTreeNode):
+    """Parameters + BN statistics + optimizer state for one network."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class GANState(flax.struct.PyTreeNode):
+    """Full training state: generator + 4 discriminators + step counter."""
+
+    g: NetState
+    d: Tuple[NetState, ...]
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam(lr, betas=(0.5, 0.999)) — reference models/PDGNet_v2.py:121-125."""
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+
+def init_state(
+    generator,
+    discriminators: Sequence[Any],
+    cfg: TrainConfig,
+    rng: jax.Array,
+    batch_size: int,
+    num_points: Sequence[int] = (256, 512, 1024, 2048),
+) -> GANState:
+    """Initialise all parameters and optimizer states."""
+    opt = make_optimizer(cfg)
+    g_rng, *d_rngs = jax.random.split(rng, 1 + len(discriminators))
+    z = jnp.zeros((batch_size, cfg.noise_dim))
+    g_vars = generator.init(g_rng, z)
+    g_state = NetState(
+        params=g_vars["params"],
+        batch_stats=g_vars["batch_stats"],
+        opt_state=opt.init(g_vars["params"]),
+    )
+    d_states = []
+    for disc, d_rng, n in zip(discriminators, d_rngs, num_points):
+        d_vars = disc.init(d_rng, jnp.zeros((batch_size, n, 3)))
+        d_states.append(
+            NetState(
+                params=d_vars["params"],
+                batch_stats=d_vars["batch_stats"],
+                opt_state=opt.init(d_vars["params"]),
+            )
+        )
+    return GANState(g=g_state, d=tuple(d_states), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    generator,
+    discriminators: Sequence[Any],
+    cfg: TrainConfig,
+) -> Callable[[GANState, Tuple[jnp.ndarray, ...], jax.Array],
+              Tuple[GANState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted GAN step.
+
+    Returns ``step(state, reals, rng) -> (state, metrics)`` where ``reals``
+    is the 4-tuple of real clouds ``(B, {256,512,1024,2048}, 3)``.
+    """
+    opt = make_optimizer(cfg)
+
+    def gen_apply(params, stats, z):
+        outs, upd = generator.apply(
+            {"params": params, "batch_stats": stats}, z,
+            mutable=["batch_stats"],
+        )
+        return outs, upd["batch_stats"]
+
+    def disc_apply(i, params, stats, x):
+        outs, upd = discriminators[i].apply(
+            {"params": params, "batch_stats": stats}, x,
+            mutable=["batch_stats"],
+        )
+        return outs, upd["batch_stats"]
+
+    def d_update(i, d_state: NetState, real, fake):
+        def loss_fn(params, stats):
+            pred_real, stats = disc_apply(i, params, stats, real)
+            pred_fake, stats = disc_apply(i, params, stats, fake)
+            loss = (
+                mse_loss(pred_real, jnp.ones_like(pred_real))
+                + mse_loss(pred_fake, jnp.zeros_like(pred_fake))
+            ) / 2.0
+            return loss, stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_state.params, d_state.batch_stats
+        )
+        updates, new_opt = opt.update(grads, d_state.opt_state, d_state.params)
+        new_params = optax.apply_updates(d_state.params, updates)
+        return NetState(new_params, new_stats, new_opt), loss
+
+    def g_update(g_state: NetState, d_states, z):
+        def loss_fn(g_params):
+            fakes, g_stats = gen_apply(g_params, g_state.batch_stats, z)
+
+            similar_mu = 0.0
+            similar_cov = 0.0
+            for a in range(4):
+                for b in range(a + 1, 4):
+                    mu_ab, cov_ab = get_local_pair(
+                        fakes[a], fakes[b], nsample=cfg.shape_nsample
+                    )
+                    similar_mu = similar_mu + mu_ab
+                    similar_cov = similar_cov + cov_ab
+            similar = (cfg.mu_weight * similar_mu
+                       + cfg.cov_weight * similar_cov)
+
+            adv = 0.0
+            new_d_stats = []
+            for i in range(4):
+                pred, d_stats_i = disc_apply(
+                    i, d_states[i].params, d_states[i].batch_stats, fakes[i]
+                )
+                adv = adv + cfg.adv_weights[i] * g_adv_loss(pred)
+                new_d_stats.append(d_stats_i)
+
+            loss = adv + cfg.similar_weight * similar
+            return loss, (g_stats, tuple(new_d_stats), similar)
+
+        (loss, (g_stats, new_d_stats, similar)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_state.params)
+        updates, new_opt = opt.update(grads, g_state.opt_state, g_state.params)
+        new_params = optax.apply_updates(g_state.params, updates)
+        new_g = NetState(new_params, g_stats, new_opt)
+        new_ds = [
+            NetState(d.params, s, d.opt_state)
+            for d, s in zip(d_states, new_d_stats)
+        ]
+        return new_g, new_ds, loss, similar
+
+    def train_step(state: GANState, reals, rng):
+        B = reals[0].shape[0]
+        rng_d, rng_g = jax.random.split(rng)
+
+        # fakes for the D updates (detached, as in the reference)
+        noise_d = cfg.noise_sigma * jax.random.normal(
+            rng_d, (B, cfg.noise_dim))
+        fakes, g_stats = gen_apply(state.g.params, state.g.batch_stats, noise_d)
+        fakes = jax.tree.map(jax.lax.stop_gradient, fakes)
+        g_state = NetState(state.g.params, g_stats, state.g.opt_state)
+
+        d_states = []
+        d_losses = []
+        for i in range(4):
+            new_d, loss_i = d_update(i, state.d[i], reals[i], fakes[i])
+            d_states.append(new_d)
+            d_losses.append(loss_i)
+
+        # generator update with fresh noise
+        noise_g = cfg.noise_sigma * jax.random.normal(
+            rng_g, (B, cfg.noise_dim))
+        g_state, d_states, g_loss, similar = g_update(g_state, d_states, noise_g)
+
+        new_state = GANState(
+            g=g_state, d=tuple(d_states), step=state.step + 1
+        )
+        metrics = {
+            "d_loss1": d_losses[0],
+            "d_loss2": d_losses[1],
+            "d_loss3": d_losses[2],
+            "d_loss4": d_losses[3],
+            "g_loss": g_loss,
+            "similar_loss": similar,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sampler(generator, cfg: TrainConfig):
+    """Test-time sampler: z ~ N(0, 1) (reference :304 — note std 1, not 0.2).
+
+    Uses the *batch statistics* of the sampled batch, matching the
+    reference quirk that the generator is never put in eval mode.
+    Returns only the finest (2048-pt) cloud plus the full tuple.
+    """
+
+    def sample(params, batch_stats, rng, batch_size: int):
+        z = jax.random.normal(rng, (batch_size, cfg.noise_dim))
+        outs, _ = generator.apply(
+            {"params": params, "batch_stats": batch_stats}, z,
+            mutable=["batch_stats"],
+        )
+        return outs
+
+    return sample

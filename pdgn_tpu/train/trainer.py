@@ -1,0 +1,313 @@
+"""Experiment layer: the PDGN GAN trainer.
+
+TPU-native equivalent of the reference trainer classes ``PDGNet`` /
+``PDGNet_v2`` (models/PDGNet_v2.py:26-430): owns the dataset, the
+generator + 4 discriminators, the 5 Adam states, the train loop with the
+reference's per-batch log line, the two-bundle checkpoint scheme, and the
+test phase (sampling -> renormalisation -> metric suite -> npy dumps).
+
+The per-batch work (9 forwards + 5 backwards + the shape-preserving loss)
+is one jitted XLA program (pdgn_tpu.train.train_step); batches stream
+through a double-buffered host loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdgn_tpu.data import (
+    ModelNetDataset,
+    ShapeNetCore,
+    SyntheticShapes,
+    train_loader,
+)
+from pdgn_tpu.models import (
+    PointDiscriminator1,
+    PointDiscriminator2,
+    PointDiscriminator3,
+    PointDiscriminator4,
+    PointGenerator,
+)
+from pdgn_tpu.parallel import batch_sharding, make_mesh, replicate
+from pdgn_tpu.train import checkpoint as ckpt_lib
+from pdgn_tpu.train.train_step import (
+    GANState,
+    TrainConfig,
+    init_state,
+    make_sampler,
+    make_train_step,
+)
+from pdgn_tpu.utils import get_logger, seed_all
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """CLI-level configuration (mirrors reference main.py:12-42 flags)."""
+
+    network: str = "PDGNet_v2"           # PDGNet | PDGNet_v2
+    phase: str = "train"                 # train | test
+    batch_size: int = 50
+    num_point: int = 2048
+    num_k: int = 20
+    learning_rate: float = 1e-4
+    max_epoch: int = 300
+    noise_dim: int = 128
+    data_root: str = "shapenet.hdf5"
+    log_info: str = "log_info.txt"
+    model_dir: str = "default"
+    checkpoint_dir: str = "checkpoint"
+    snapshot: int = 20
+    choice: Optional[str] = None
+    pretrain_model_G: Optional[str] = None
+    pretrain_model_D: Optional[str] = None
+    softmax: bool = True
+    dataset: str = "shapenet15k"         # shapenet15k | modelnet10/40 | synthetic
+    normalize: Optional[str] = "shape_bbox"
+    seed: int = 9999
+    save_dir: str = "./results"
+    synthetic_size: int = 64             # for dataset='synthetic'
+    max_steps_per_epoch: Optional[int] = None  # debug/smoke-test cap
+
+    @property
+    def category(self) -> str:
+        return self.choice if self.choice is not None else "full"
+
+
+def _train_config(cfg: ExperimentConfig) -> TrainConfig:
+    if cfg.network == "PDGNet":
+        return TrainConfig.v1(learning_rate=cfg.learning_rate,
+                              noise_dim=cfg.noise_dim)
+    return TrainConfig(learning_rate=cfg.learning_rate,
+                       noise_dim=cfg.noise_dim)
+
+
+def normalize_point_clouds(pcs: np.ndarray, mode: Optional[str],
+                           logger=None) -> np.ndarray:
+    """Per-cloud renormalisation of generated clouds
+    (reference models/PDGNet_v2.py:413-430)."""
+    if mode is None:
+        if logger:
+            logger.info("Will not normalize point clouds.")
+        return pcs
+    if logger:
+        logger.info("Normalization mode: %s" % mode)
+    out = pcs.copy()
+    for i in range(pcs.shape[0]):
+        pc = pcs[i]
+        if mode == "shape_unit":
+            shift = pc.mean(axis=0, keepdims=True)
+            scale = pc.flatten().std().reshape(1, 1)
+        elif mode == "shape_bbox":
+            pc_max = pc.max(axis=0, keepdims=True)
+            pc_min = pc.min(axis=0, keepdims=True)
+            shift = (pc_min + pc_max) / 2.0
+            scale = (pc_max - pc_min).max().reshape(1, 1) / 2.0
+        else:
+            raise ValueError(f"unknown normalize mode {mode}")
+        out[i] = (pc - shift) / scale
+    return out
+
+
+class PDGNTrainer:
+    """Owns models + state + loop. ``network`` picks the v1/v2 loss weights
+    (the architectures are identical up to the softmax flag; see
+    SURVEY.md §1)."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.tcfg = _train_config(cfg)
+        softmax = cfg.softmax if cfg.network == "PDGNet" else True
+        self.generator = PointGenerator(cfg.num_point, cfg.num_k,
+                                        softmax=softmax)
+        self.discriminators = (
+            PointDiscriminator1(), PointDiscriminator2(),
+            PointDiscriminator3(), PointDiscriminator4(),
+        )
+        self.mesh = make_mesh()
+        self.state: Optional[GANState] = None
+        self._train_step = None
+        self._sampler = None
+        self._log_fout = None
+
+    # -- plumbing ------------------------------------------------------
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.cfg.checkpoint_dir, self.cfg.model_dir,
+                            self.cfg.network)
+
+    def log_string(self, s: str) -> None:
+        print(s)
+        if self._log_fout is not None:
+            self._log_fout.write(s + "\n")
+            self._log_fout.flush()
+
+    def _make_dataset(self, split: str, scale_mode: Optional[str]):
+        cfg = self.cfg
+        if cfg.dataset == "shapenet15k":
+            return ShapeNetCore(path=cfg.data_root, cates_list=cfg.choice,
+                                split=split, scale_mode=scale_mode)
+        if cfg.dataset in ("modelnet10", "modelnet40"):
+            return ModelNetDataset(
+                root=cfg.data_root, batch_size=cfg.batch_size,
+                split="train" if split == "train" else "test",
+                normalize=True, normal_channel=False,
+                modelnet10=(cfg.dataset == "modelnet10"),
+                class_choice=cfg.choice,
+            )
+        if cfg.dataset == "synthetic":
+            return SyntheticShapes(size=cfg.synthetic_size,
+                                   num_points=cfg.num_point)
+        raise ValueError(f"unknown dataset {cfg.dataset}")
+
+    # -- model/state ----------------------------------------------------
+    def build_model(self, rng: Optional[jax.Array] = None) -> None:
+        """Initialise parameters/optimizers and compile the train step."""
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            np.random.randint(0, 2 ** 31))
+        with self.mesh:
+            self.state = init_state(
+                self.generator, self.discriminators, self.tcfg, rng,
+                batch_size=self.cfg.batch_size,
+            )
+            self.state = replicate(self.mesh, self.state)
+        self._train_step = jax.jit(
+            make_train_step(self.generator, self.discriminators, self.tcfg),
+            donate_argnums=(0,),
+        )
+        self._sampler = jax.jit(
+            make_sampler(self.generator, self.tcfg),
+            static_argnames=("batch_size",),
+        )
+
+    # -- checkpoints -----------------------------------------------------
+    def save(self, epoch: int) -> None:
+        path_g, path_d = ckpt_lib.save(self.ckpt_dir, self.state, epoch,
+                                       self.cfg.category)
+        print(f"Save Path for G: {path_g}")
+        print(f"Save Path for D: {path_d}")
+
+    def load(self) -> Tuple[bool, int]:
+        """Resume from --pretrain_model_G/--pretrain_model_D (both or none,
+        like reference models/PDGNet_v2.py:333-382)."""
+        cfg = self.cfg
+        if cfg.pretrain_model_G is None and cfg.pretrain_model_D is None:
+            print("################ new training ################")
+            return False, 1
+        if cfg.pretrain_model_G is None or cfg.pretrain_model_D is None:
+            raise FileNotFoundError(
+                "both pretrain_model_G and pretrain_model_D are required")
+        path_g = os.path.join(self.ckpt_dir, cfg.pretrain_model_G)
+        path_d = os.path.join(self.ckpt_dir, cfg.pretrain_model_D)
+        for p in (path_g, path_d):
+            if not os.path.isfile(p):
+                raise FileNotFoundError(f"no checkpoint found at {p}")
+        self.state, epoch = ckpt_lib.load(path_g, path_d, self.state)
+        print(f" [*] Success to load model --> {cfg.pretrain_model_G} & "
+              f"{cfg.pretrain_model_D}")
+        return True, epoch
+
+    # -- phases ----------------------------------------------------------
+    def train(self, rng: Optional[jax.Array] = None) -> None:
+        cfg = self.cfg
+        os.makedirs(os.path.join(cfg.checkpoint_dir, cfg.model_dir),
+                    exist_ok=True)
+        self._log_fout = open(
+            os.path.join(cfg.checkpoint_dir, cfg.model_dir, cfg.log_info), "w")
+        self._log_fout.write(str(cfg) + "\n")
+
+        if self.state is None:
+            self.build_model()
+        could_load, save_epoch = self.load()
+        start_epoch = save_epoch if could_load else 1
+        if could_load:
+            print(" [*] Load SUCCESS")
+        else:
+            print(f" [!] start epoch: {start_epoch}")
+
+        dataset = self._make_dataset("train", "shape_unit")
+        num_batches = len(dataset) // cfg.batch_size
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            np.random.randint(0, 2 ** 31))
+        sharding = batch_sharding(self.mesh)
+
+        start_time = time.time()
+        for epoch in range(start_epoch, cfg.max_epoch + 1):
+            loader = train_loader(dataset, cfg.batch_size, sharding=sharding)
+            for idx, batch in enumerate(loader):
+                if cfg.max_steps_per_epoch and idx >= cfg.max_steps_per_epoch:
+                    break
+                p1, p2, p3, p4 = batch[:4]
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self._train_step(
+                    self.state, (p1, p2, p3, p4), step_rng)
+                m = {k: float(v) for k, v in metrics.items()}
+                el = time.time() - start_time
+                self.log_string(
+                    "Epoch: [%2d] [%4d/%4d] time: %2dm %2ds d_loss1: %.8f "
+                    "d_loss2: %.8f d_loss3: %.8f d_loss4: %.8f, g_loss: %.8f,"
+                    " similar_loss: %.8f"
+                    % (epoch, idx + 1, num_batches, el / 60, el % 60,
+                       m["d_loss1"], m["d_loss2"], m["d_loss3"], m["d_loss4"],
+                       m["g_loss"], m["similar_loss"]))
+            if epoch % cfg.snapshot == 0:
+                self.save(epoch)
+        self.save(cfg.max_epoch)
+        self._log_fout.close()
+
+    def sample(self, rng: jax.Array, batch_size: int):
+        """One generator batch at test noise (z ~ N(0,1))."""
+        return self._sampler(self.state.g.params, self.state.g.batch_stats,
+                             rng, batch_size=batch_size)
+
+    def test(self, tile: int = 8) -> dict:
+        """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
+        from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
+
+        cfg = self.cfg
+        if self.state is None:
+            self.build_model()
+        try:
+            could_load, _ = self.load()
+            print(" [*] Load SUCCESS" if could_load else " [!] Load failed...")
+        except FileNotFoundError as e:
+            print(f" [!] Load failed... ({e})")
+
+        cate_tag = "_".join(cfg.choice) if cfg.choice else "full"
+        save_dir = os.path.join(
+            cfg.save_dir, "GEN_Ours_%s_%d" % (cate_tag, int(time.time())))
+        os.makedirs(save_dir, exist_ok=True)
+        logger = get_logger("test", save_dir)
+        seed_all(cfg.seed)
+
+        logger.info("Loading datasets...")
+        test_dset = self._make_dataset("test", cfg.normalize)
+        ref_pcs = test_dset.full_clouds()
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        gen = []
+        for _ in range(math.ceil(len(test_dset) / cfg.batch_size)):
+            rng, sub = jax.random.split(rng)
+            outs = self.sample(sub, cfg.batch_size)
+            gen.append(np.asarray(outs[3]))
+        gen_pcs = np.concatenate(gen, axis=0)[: len(test_dset)]
+        np.save(os.path.join(save_dir, "nonormal_out.npy"), gen_pcs)
+        if cfg.normalize is not None:
+            gen_pcs = normalize_point_clouds(gen_pcs, cfg.normalize, logger)
+
+        logger.info("Saving point clouds...")
+        np.save(os.path.join(save_dir, "out.npy"), gen_pcs)
+
+        results = compute_all_metrics(gen_pcs, ref_pcs, cfg.batch_size,
+                                      tile=tile)
+        results["jsd"] = jsd_between_point_cloud_sets(gen_pcs, ref_pcs)
+        for k, v in results.items():
+            logger.info("%s: %.12f" % (k, v))
+        return results

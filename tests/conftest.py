@@ -16,8 +16,14 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: model-sized CPU compiles take minutes on
+# this single-core host; cache them across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pdgn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture

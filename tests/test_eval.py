@@ -1,0 +1,143 @@
+"""Evaluation-suite tests against float64 numpy oracles.
+
+The oracles re-implement the reference evaluation_metrics.py reductions
+(pairwise loops, lgan_mmd_cov, the 1-NN classifier with its transposed
+off-diagonal block, sklearn-NN occupancy JSD) literally in numpy.
+"""
+
+import numpy as np
+import pytest
+
+from pdgn_tpu.eval import (
+    compute_all_metrics,
+    entropy_of_occupancy_grid,
+    jensen_shannon_divergence,
+    jsd_between_point_cloud_sets,
+    knn_classifier,
+    lgan_mmd_cov,
+    pairwise_cd_emd,
+    unit_cube_grid_point_cloud,
+)
+from tests.test_losses import np_approxmatch
+
+
+def np_cd(a, b):
+    P = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return P.min(0).mean() + P.min(1).mean()
+
+
+@pytest.fixture(scope="module")
+def cloud_sets():
+    rng = np.random.RandomState(7)
+    sample = rng.randn(6, 24, 3).astype(np.float32) * 0.2
+    ref = rng.randn(6, 24, 3).astype(np.float32) * 0.2
+    return sample, ref
+
+
+def test_pairwise_matrices_vs_oracle(cloud_sets):
+    sample, ref = cloud_sets
+    cd, emd = pairwise_cd_emd(sample, ref, tile=4)  # exercises padding
+    assert cd.shape == (6, 6) and emd.shape == (6, 6)
+    for i in range(6):
+        for j in range(6):
+            want_cd = np_cd(sample[i].astype(np.float64), ref[j].astype(np.float64))
+            np.testing.assert_allclose(cd[i, j], want_cd, rtol=1e-4)
+            want_emd, _, _ = np_approxmatch(
+                sample[i].astype(np.float64), ref[j].astype(np.float64))
+            np.testing.assert_allclose(emd[i, j], want_emd / 24.0, rtol=3e-4)
+
+
+def test_lgan_mmd_cov():
+    d = np.array([[1.0, 2.0, 3.0], [0.5, 5.0, 6.0], [7.0, 0.1, 9.0]])
+    res = lgan_mmd_cov(d)
+    np.testing.assert_allclose(res["lgan_mmd"], np.mean([0.5, 0.1, 3.0]))
+    np.testing.assert_allclose(res["lgan_mmd_smp"], np.mean([1.0, 0.5, 0.1]))
+    # argmins per row: 0, 0, 1 -> 2 unique of 3
+    np.testing.assert_allclose(res["lgan_cov"], 2 / 3)
+
+
+def test_knn_classifier_perfect_separation():
+    # x-x and y-y distances small, cross distances large -> 1-NN acc 1.0
+    n = 4
+    Mxx = np.full((n, n), 0.1)
+    Myy = np.full((n, n), 0.1)
+    Mxy = np.full((n, n), 10.0)
+    res = knn_classifier(Mxx, Mxy, Myy, k=1)
+    assert res["acc"] == 1.0
+    # the reference's +1e-10 denominators keep acc_t/acc_f just below 1
+    np.testing.assert_allclose(res["acc_t"], 1.0, rtol=1e-9)
+    np.testing.assert_allclose(res["acc_f"], 1.0, rtol=1e-9)
+
+
+def test_knn_classifier_identical_distributions():
+    # all cross/within distances equal up to noise -> acc ~ chance
+    rng = np.random.RandomState(0)
+    n = 20
+    M = rng.rand(2 * n, 2 * n)
+    M = (M + M.T) / 2
+    res = knn_classifier(M[:n, :n], M[:n, n:], M[n:, n:], k=1)
+    assert 0.2 <= res["acc"] <= 0.8
+
+
+def test_compute_all_metrics_keys(cloud_sets):
+    sample, ref = cloud_sets
+    res = compute_all_metrics(sample, ref, tile=6)
+    want_keys = {
+        "lgan_mmd-CD", "lgan_cov-CD", "lgan_mmd_smp-CD",
+        "lgan_mmd-EMD", "lgan_cov-EMD", "lgan_mmd_smp-EMD",
+        "1-NN-CD-acc", "1-NN-CD-acc_t", "1-NN-CD-acc_f",
+        "1-NN-EMD-acc", "1-NN-EMD-acc_t", "1-NN-EMD-acc_f",
+    }
+    assert want_keys <= set(res.keys())
+    # identical sets -> 1-NN accuracy should be low (indistinguishable)
+    res_same = compute_all_metrics(ref, ref, tile=6)
+    assert res_same["lgan_mmd-CD"] == 0.0
+
+
+def test_unit_cube_grid_matches_reference_loop():
+    grid, spacing = unit_cube_grid_point_cloud(5)
+    assert grid.shape == (5, 5, 5, 3)
+    np.testing.assert_allclose(spacing, 0.25)
+    np.testing.assert_allclose(grid[0, 0, 0], [-0.5, -0.5, -0.5])
+    np.testing.assert_allclose(grid[4, 2, 1], [0.5, 0.0, -0.25])
+    clipped, _ = unit_cube_grid_point_cloud(5, clip_sphere=True)
+    assert clipped.ndim == 2
+    assert np.all(np.linalg.norm(clipped, axis=1) <= 0.5)
+
+
+def test_occupancy_grid_vs_sklearn():
+    sklearn = pytest.importorskip("sklearn.neighbors")
+    rng = np.random.RandomState(3)
+    clouds = (rng.rand(4, 50, 3).astype(np.float32) - 0.5) * 0.5
+    res = 8
+    got_entropy, got_counters = entropy_of_occupancy_grid(clouds, res, True)
+
+    grid, _ = unit_cube_grid_point_cloud(res, True)
+    nn = sklearn.NearestNeighbors(n_neighbors=1).fit(grid.reshape(-1, 3))
+    counters = np.zeros(len(grid))
+    bern = np.zeros(len(grid))
+    for pc in clouds:
+        _, ind = nn.kneighbors(pc)
+        ind = np.squeeze(ind)
+        for i in ind:
+            counters[i] += 1
+        for i in np.unique(ind):
+            bern[i] += 1
+    np.testing.assert_array_equal(got_counters, counters)
+
+
+def test_jsd_cross_check_and_bounds():
+    rng = np.random.RandomState(5)
+    P = rng.rand(100)
+    Q = rng.rand(100)
+    j = jensen_shannon_divergence(P, Q)
+    assert 0.0 <= j <= 1.0
+    assert jensen_shannon_divergence(P, P) < 1e-12
+    with pytest.raises(ValueError):
+        jensen_shannon_divergence(-P, Q)
+
+
+def test_jsd_between_sets_identical_is_zero():
+    rng = np.random.RandomState(11)
+    clouds = (rng.rand(3, 64, 3).astype(np.float32) - 0.5) * 0.4
+    assert jsd_between_point_cloud_sets(clouds, clouds) < 1e-12

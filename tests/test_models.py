@@ -1,0 +1,94 @@
+"""Model-layer tests: shapes, parameter counts, BN semantics.
+
+The full generator is expensive to run eagerly on a single CPU core, so
+everything goes through one jitted apply (compiled once per session and
+persisted in the compilation cache).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdgn_tpu.models import (
+    PointDiscriminator1,
+    PointDiscriminator2,
+    PointDiscriminator3,
+    PointDiscriminator4,
+    PointGenerator,
+)
+
+
+@pytest.fixture(scope="module")
+def gen_setup():
+    model = PointGenerator()
+    z = jnp.zeros((2, 128))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), z)
+
+    @jax.jit
+    def apply(variables, z):
+        outs, _ = model.apply(z=z, variables=variables, mutable=["batch_stats"])
+        return outs
+
+    return model, variables, apply
+
+
+def test_generator_output_shapes(gen_setup):
+    _, variables, apply = gen_setup
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 128).astype(np.float32))
+    x1, x2, x3, x4 = apply(variables, z)
+    assert x1.shape == (2, 256, 3)
+    assert x2.shape == (2, 512, 3)
+    assert x3.shape == (2, 1024, 3)
+    assert x4.shape == (2, 2048, 3)
+    for x in (x1, x2, x3, x4):
+        assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_generator_param_count(gen_setup):
+    # pins the layer wiring to the reference architecture: the torch
+    # reference PointGenerator has 12,711,372 parameters
+    _, variables, _ = gen_setup
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert n == 12_711_372, n
+
+
+def test_generator_batch_stat_normalisation(gen_setup):
+    """BN uses batch stats: scaling the input must not blow up outputs."""
+    _, variables, apply = gen_setup
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 128).astype(np.float32))
+    a1 = apply(variables, z)[0]
+    b1 = apply(variables, z * 100.0)[0]
+    assert float(jnp.abs(b1).mean()) < 100 * float(jnp.abs(a1).mean() + 1)
+
+
+@pytest.mark.parametrize(
+    "factory,npts",
+    [
+        (PointDiscriminator1, 256),
+        (PointDiscriminator2, 512),
+        (PointDiscriminator3, 1024),
+        (PointDiscriminator4, 2048),
+    ],
+)
+def test_discriminator_shapes(factory, npts):
+    model = factory()
+    x = jnp.zeros((2, npts, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(x=x, variables=variables, mutable=["batch_stats"])
+    assert out.shape == (2, 1)
+
+
+def test_discriminator_param_counts():
+    # golden values from the torch reference models
+    want = {
+        PointDiscriminator1: 83_713,
+        PointDiscriminator2: 322_945,
+        PointDiscriminator3: 322_945,
+        PointDiscriminator4: 980_353,
+    }
+    for factory, expected in want.items():
+        model = factory()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 3)))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert n == expected, (factory.__name__, n)

@@ -1,0 +1,94 @@
+"""GAN train-step smoke tests (tiny generator, CPU).
+
+Uses ``base_points=16`` (stages 32/64/128/256 points) so one full jitted
+step — 2 generator forwards, 4 D updates, the 6-pair shape-preserving
+loss and the G update — compiles in reasonable time on CPU. The real
+sizes run on TPU via bench.py / the trainer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdgn_tpu.models import (
+    PointDiscriminator1,
+    PointDiscriminator2,
+    PointDiscriminator3,
+    PointDiscriminator4,
+    PointGenerator,
+)
+from pdgn_tpu.train import TrainConfig, init_state, make_train_step
+from pdgn_tpu.train.checkpoint import load as ckpt_load
+from pdgn_tpu.train.checkpoint import save as ckpt_save
+
+BASE = 16
+SIZES = (32, 64, 128, 256)
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen = PointGenerator(num_point=SIZES[-1], num_k=20, base_points=BASE)
+    discs = (
+        PointDiscriminator1(), PointDiscriminator2(),
+        PointDiscriminator3(), PointDiscriminator4(),
+    )
+    cfg = TrainConfig()
+    state = init_state(gen, discs, cfg, jax.random.PRNGKey(0), BATCH,
+                       num_points=SIZES)
+    step = jax.jit(make_train_step(gen, discs, cfg))
+    rng = np.random.RandomState(0)
+    reals = tuple(
+        jnp.asarray(rng.randn(BATCH, n, 3).astype(np.float32)) for n in SIZES
+    )
+    return state, step, reals
+
+
+def test_train_step_runs_and_updates(setup):
+    state, step, reals = setup
+    new_state, metrics = step(state, reals, jax.random.PRNGKey(1))
+    for k in ("d_loss1", "d_loss2", "d_loss3", "d_loss4", "g_loss",
+              "similar_loss"):
+        v = float(metrics[k])
+        assert np.isfinite(v), (k, v)
+    assert int(new_state.step) == 1
+    # parameters actually moved
+    before = jax.tree.leaves(state.g.params)[0]
+    after = jax.tree.leaves(new_state.g.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_d_losses_decrease_over_steps(setup):
+    state, step, reals = setup
+    rng = jax.random.PRNGKey(2)
+    first = None
+    for i in range(5):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, reals, sub)
+        if first is None:
+            first = float(metrics["d_loss1"])
+    last = float(metrics["d_loss1"])
+    # LSGAN D loss starts near 0.25-0.5 and should drop as D learns
+    assert last < first, (first, last)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    state, step, reals = setup
+    state, _ = step(state, reals, jax.random.PRNGKey(3))
+    ckpt_save(str(tmp_path), state, epoch=7, category="chair")
+    assert (tmp_path / "7_chair_G.msgpack").exists()
+    assert (tmp_path / "7_chair_D.msgpack").exists()
+
+    restored, epoch = ckpt_load(
+        str(tmp_path / "7_chair_G.msgpack"),
+        str(tmp_path / "7_chair_D.msgpack"),
+        state,
+    )
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state must be steppable
+    _, metrics = step(restored, reals, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["g_loss"]))
