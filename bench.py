@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: model-sized programs take minutes to
+# compile; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/pdgn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def bench_sampling(batch: int = 64, iters: int = 30) -> float:
     from pdgn_tpu.models import PointGenerator
@@ -33,11 +38,14 @@ def bench_sampling(batch: int = 64, iters: int = 30) -> float:
                        batch_size=batch)
 
     out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    float(jnp.sum(out[3]))  # force completion (the axon relay's
+    # block_until_ready returns at dispatch, not completion)
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(iters):
         out = run(jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
+        acc = acc + jnp.sum(out[3])  # device-side chain
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
@@ -61,11 +69,12 @@ def bench_train_step(batch: int = 35, iters: int = 10) -> float:
         for n in (256, 512, 1024, 2048)
     )
     state, m = step(state, reals, jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
+    float(m["g_loss"])  # force completion through the axon relay
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, reals, jax.random.PRNGKey(i))
-    jax.block_until_ready(m)
+    float(m["g_loss"])  # state chains serially; fetching the last
+    # metric forces the whole chain
     return iters / (time.perf_counter() - t0)
 
 
@@ -77,11 +86,13 @@ def bench_eval_pairs(tile: int = 8, reps: int = 4) -> float:
     s = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
     r = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
     out = _pair_tile(s, r, True)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0]) + jnp.sum(out[1]))
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(reps):
         out = _pair_tile(s, r, True)
-    jax.block_until_ready(out)
+        acc = acc + jnp.sum(out[0]) + jnp.sum(out[1])
+    float(acc)
     dt = (time.perf_counter() - t0) / reps
     return tile * tile / dt
 

@@ -39,9 +39,24 @@ from pdgn_tpu.losses.emd import match_cost
 
 
 # ------------------------------------------------------------------ pairwise
-@functools.partial(jax.jit, static_argnames=("with_emd",))
+def _pallas_eligible(n: int, m: int, with_emd: bool) -> bool:
+    """Fused Pallas CD+EMD kernel applies: TPU, equal 256-multiple sizes."""
+    import os
+
+    if os.environ.get("PDGN_DISABLE_PALLAS"):
+        return False
+    if not (with_emd and n == m and n % 256 == 0):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("with_emd", "use_pallas"))
 def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
-               with_emd: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               with_emd: bool = True,
+               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All-pairs CD (and EMD) between two tiles of clouds.
 
     Args:
@@ -55,6 +70,11 @@ def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
     R = ref_tile.shape[0]
     a = jnp.broadcast_to(sample_tile[:, None], (S, R, N, 3)).reshape(S * R, N, 3)
     b = jnp.broadcast_to(ref_tile[None, :], (S, R, N, 3)).reshape(S * R, N, 3)
+    if use_pallas:
+        from pdgn_tpu.ops.pallas import fused_cd_emd
+
+        cd, cost = fused_cd_emd(a, b)
+        return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
     cd = chamfer_cd(a, b).reshape(S, R)
     if with_emd:
         emd = (match_cost(a, b) / float(N)).reshape(S, R)
@@ -90,6 +110,7 @@ def pairwise_cd_emd(
 
     sp = pad(sample_pcs, tile)
     rp = pad(ref_pcs, tile)
+    use_pallas = _pallas_eligible(N, N, with_emd)
     cd = np.zeros((sp.shape[0], rp.shape[0]), np.float32)
     emd = np.zeros_like(cd)
     n_row = sp.shape[0] // tile
@@ -98,7 +119,7 @@ def pairwise_cd_emd(
         srow = jax.lax.dynamic_slice_in_dim(sp, i * tile, tile)
         for j in range(n_col):
             rcol = jax.lax.dynamic_slice_in_dim(rp, j * tile, tile)
-            c, e = _pair_tile(srow, rcol, with_emd)
+            c, e = _pair_tile(srow, rcol, with_emd, use_pallas)
             cd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(c)
             emd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(e)
         if verbose:

@@ -9,7 +9,10 @@ import os
 
 # Must be set before jax is imported anywhere. Overrides the ambient
 # JAX_PLATFORMS (e.g. a TPU tunnel) — the test suite is CPU-only.
+# PALLAS_AXON_POOL_IPS must be cleared too: sitecustomize registers the
+# axon TPU backend unconditionally when it is set, ignoring JAX_PLATFORMS.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,11 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# A sitecustomize may import jax and register a TPU plugin before this
+# file runs, making the env vars above insufficient — force the platform
+# through jax.config too (effective while no backend has been used yet).
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: model-sized CPU compiles take minutes on
 # this single-core host; cache them across test sessions.
