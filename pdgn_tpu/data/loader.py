@@ -44,13 +44,16 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     _END = object()
 
     def producer():
-        for batch in iterator:
-            put = tuple(
-                jax.device_put(x, sharding) if hasattr(x, "shape") else x
-                for x in batch
-            )
-            q.put(put)
-        q.put(_END)
+        try:
+            for batch in iterator:
+                put = tuple(
+                    jax.device_put(x, sharding) if hasattr(x, "shape") else x
+                    for x in batch
+                )
+                q.put(put)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - must surface in consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -58,6 +61,8 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

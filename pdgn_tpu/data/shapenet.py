@@ -206,7 +206,12 @@ class SyntheticShapes:
 
     def __getitem__(self, idx: int):
         pc = self._cloud(idx)
-        subs = [pc[np.random.choice(self.num_points, r)] for r in RESOLUTIONS[:3]]
+        # resolutions scale with the cloud size: n/8, n/4, n/2, n
+        # (== 256/512/1024/2048 at the reference num_points=2048)
+        subs = [
+            pc[np.random.choice(self.num_points, self.num_points >> s)]
+            for s in (3, 2, 1)
+        ]
         return (*subs, pc, self.cate)
 
     def full_clouds(self) -> np.ndarray:

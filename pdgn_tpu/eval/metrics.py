@@ -39,24 +39,31 @@ from pdgn_tpu.losses.emd import match_cost
 
 
 # ------------------------------------------------------------------ pairwise
-def _pallas_eligible(n: int, m: int, with_emd: bool) -> bool:
-    """Fused Pallas CD+EMD kernel applies: TPU, equal 256-multiple sizes."""
+def _select_impl(n: int, m: int, with_emd: bool) -> str:
+    """Pick the pair-tile implementation.
+
+    ``PDGN_EVAL_IMPL`` overrides: ``pallas`` (fused VMEM kernel), ``xla``
+    (single-D bf16-compact jnp path), ``exact`` (fp32 jnp, the oracle path).
+    Default on TPU is ``xla``; everywhere else ``exact``.
+    """
     import os
 
-    if os.environ.get("PDGN_DISABLE_PALLAS"):
-        return False
-    if not (with_emd and n == m and n % 256 == 0):
-        return False
+    forced = os.environ.get("PDGN_EVAL_IMPL")
+    if forced:
+        return forced
+    if not (with_emd and n == m):
+        return "exact"
     try:
-        return jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
-        return False
+        on_tpu = False
+    return "xla" if on_tpu else "exact"
 
 
-@functools.partial(jax.jit, static_argnames=("with_emd", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("with_emd", "impl"))
 def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
                with_emd: bool = True,
-               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               impl: str = "exact") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All-pairs CD (and EMD) between two tiles of clouds.
 
     Args:
@@ -70,10 +77,15 @@ def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
     R = ref_tile.shape[0]
     a = jnp.broadcast_to(sample_tile[:, None], (S, R, N, 3)).reshape(S * R, N, 3)
     b = jnp.broadcast_to(ref_tile[None, :], (S, R, N, 3)).reshape(S * R, N, 3)
-    if use_pallas:
+    if impl == "pallas" and N % 256 == 0:
         from pdgn_tpu.ops.pallas import fused_cd_emd
 
         cd, cost = fused_cd_emd(a, b)
+        return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
+    if impl == "xla" and with_emd:
+        from pdgn_tpu.losses.emd import cd_emd_xla
+
+        cd, cost = cd_emd_xla(a, b)
         return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
     cd = chamfer_cd(a, b).reshape(S, R)
     if with_emd:
@@ -110,7 +122,7 @@ def pairwise_cd_emd(
 
     sp = pad(sample_pcs, tile)
     rp = pad(ref_pcs, tile)
-    use_pallas = _pallas_eligible(N, N, with_emd)
+    impl = _select_impl(N, N, with_emd)
     cd = np.zeros((sp.shape[0], rp.shape[0]), np.float32)
     emd = np.zeros_like(cd)
     n_row = sp.shape[0] // tile
@@ -119,7 +131,7 @@ def pairwise_cd_emd(
         srow = jax.lax.dynamic_slice_in_dim(sp, i * tile, tile)
         for j in range(n_col):
             rcol = jax.lax.dynamic_slice_in_dim(rp, j * tile, tile)
-            c, e = _pair_tile(srow, rcol, with_emd, use_pallas)
+            c, e = _pair_tile(srow, rcol, with_emd, impl)
             cd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(c)
             emd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(e)
         if verbose:

@@ -129,6 +129,26 @@ def leaky_relu(x, negative_slope: float = 0.01):
     return nn.leaky_relu(x, negative_slope)
 
 
+class DenseDBR(nn.Module):
+    """Dense + Dropout + BN + activation (== reference ``fcdbr``,
+    utils/nn_utils.py:26-41)."""
+
+    features: int
+    drop_rate: float = 0.5
+    negative_slope: Optional[float] = None
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = TorchDense(self.features, dtype=self.dtype)(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x)
+        if self.negative_slope is None:
+            return nn.relu(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
 class MLP(nn.Module):
     """Stack of Dense layers with LeakyReLU between (no BN).
 

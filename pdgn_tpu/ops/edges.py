@@ -17,11 +17,40 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from pdgn_tpu.ops.grouping import grouping
 from pdgn_tpu.ops.knn import knn_exclude_first
 from pdgn_tpu.ops.pairwise import self_pairwise_sqdist
+
+
+# Precision of the feature-space distance matmul used only for neighbour
+# *selection*: the default (bf16 on the MXU) is ~15x faster than fp32 and
+# only perturbs edge choice at near-ties in a learned feature space. Set
+# PDGN_EXACT_KNN=1 for fp32-exact graph construction.
+def _graph_precision():
+    import os
+
+    if os.environ.get("PDGN_EXACT_KNN"):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _neighbor_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Feature-space kNN indices 1..k of the ascending ordering.
+
+    Uses the fused Pallas kernel on TPU (no materialised distance matrix);
+    falls back to an XLA pairwise + iterative top-k elsewhere.
+    """
+    from pdgn_tpu.ops.knn import _pallas_knn_ok
+
+    if _pallas_knn_ok(x, k + 1):
+        from pdgn_tpu.ops.pallas.knn import knn_topk
+
+        return knn_topk(x, x, k + 1)[..., 1:]
+    dist = self_pairwise_sqdist(x, precision=_graph_precision())
+    return knn_exclude_first(dist, k)
 
 
 def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -34,8 +63,7 @@ def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
     Returns:
       ``(B, N, k, 2C)``.
     """
-    dist = self_pairwise_sqdist(x)                      # (B, N, N)
-    idx = knn_exclude_first(dist, k)                    # (B, N, k)
+    idx = _neighbor_idx(x, k)                           # (B, N, k)
     neighbors = grouping(x, idx)                        # (B, N, k, C)
     central = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate([central, neighbors - central], axis=-1)
@@ -58,8 +86,7 @@ def edge_features_xyz(
     Returns:
       ``e_fea (B, N, k, 2C)`` and ``e_xyz (B, N, k, 6)``.
     """
-    dist = self_pairwise_sqdist(x)
-    idx = knn_exclude_first(dist, k)
+    idx = _neighbor_idx(x, k)
     nbr_fea = grouping(x, idx)
     nbr_xyz = grouping(pc, idx)
     central_fea = jnp.broadcast_to(x[:, :, None, :], nbr_fea.shape)

@@ -49,12 +49,54 @@ def knn(
     """
     if new_xyz is None:
         new_xyz = xyz
+    if not return_dist and _pallas_knn_ok(new_xyz, k):
+        from pdgn_tpu.ops.pallas.knn import knn_topk
+
+        return knn_topk(new_xyz, xyz, k)
     dist = pairwise_sqdist(new_xyz, xyz)                     # (B, M, N)
-    neg_d, idx = jax.lax.top_k(-dist, k)                     # ascending dist
-    idx = idx.astype(jnp.int32)
+    idx = topk_ascending_idx(dist, k)                        # ascending dist
     if return_dist:
-        return idx, -neg_d
+        return idx, jnp.take_along_axis(dist, idx, axis=-1)
     return idx
+
+
+def _pallas_knn_ok(queries: jnp.ndarray, k: int) -> bool:
+    """Fused Pallas kNN applies: TPU, 128-multiple query count, k <= 128."""
+    import os
+
+    if os.environ.get("PDGN_DISABLE_PALLAS"):
+        return False
+    if queries.shape[1] % 128 or k > 128:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def topk_ascending_idx(dist: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k smallest entries per row, ascending.
+
+    ``lax.top_k`` lowers to a full sort on TPU — 10x more expensive than
+    needed for small k. This does k passes of argmin + mask, which XLA
+    keeps fully vectorised; tie-breaking (lowest index first) matches both
+    ``lax.top_k`` and the reference's stable sort.
+
+    Args:
+      dist: ``(..., M)``.
+      k: static small k (intended k <= ~32).
+
+    Returns:
+      ``(..., k)`` int32 indices.
+    """
+    idxs = []
+    d = dist
+    for _ in range(k):
+        i = jnp.argmin(d, axis=-1)
+        idxs.append(i.astype(jnp.int32))
+        hot = jax.nn.one_hot(i, dist.shape[-1], dtype=jnp.bool_)
+        d = jnp.where(hot, jnp.inf, d)
+    return jnp.stack(idxs, axis=-1)
 
 
 def knn_exclude_first(
@@ -74,8 +116,7 @@ def knn_exclude_first(
     Returns:
       ``(B, N, k)`` int32 indices.
     """
-    _, idx = jax.lax.top_k(-dist, k + 1)
-    return idx[..., 1:].astype(jnp.int32)
+    return topk_ascending_idx(dist, k + 1)[..., 1:]
 
 
 def knn_naive(

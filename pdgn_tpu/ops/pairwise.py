@@ -23,7 +23,8 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray,
+                    precision=None) -> jnp.ndarray:
     """Squared euclidean distance between every row of ``x`` and ``y``.
 
     Args:
@@ -37,16 +38,18 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
       slightly negative for coincident points).
     """
     # Contract over the channel dim: (..., N, C) @ (..., C, M) -> (..., N, M)
-    xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2), precision=_PREC,
+    xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2),
+                    precision=precision if precision is not None else _PREC,
                     preferred_element_type=jnp.float32)
     x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)          # (..., N, 1)
     y2 = jnp.sum(jnp.square(y), axis=-1, keepdims=True)          # (..., M, 1)
     return x2 - 2.0 * xy + jnp.swapaxes(y2, -1, -2)
 
 
-def self_pairwise_sqdist(x: jnp.ndarray) -> jnp.ndarray:
+def self_pairwise_sqdist(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """``pairwise_sqdist(x, x)`` (kept separate so XLA shares the norms)."""
-    xx = jnp.matmul(x, jnp.swapaxes(x, -1, -2), precision=_PREC,
+    xx = jnp.matmul(x, jnp.swapaxes(x, -1, -2),
+                    precision=precision if precision is not None else _PREC,
                     preferred_element_type=jnp.float32)
     x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
     return x2 - 2.0 * xx + jnp.swapaxes(x2, -1, -2)

@@ -1,0 +1,118 @@
+"""Fused pairwise-distance + top-k Pallas TPU kernel (exact kNN).
+
+TPU-native replacement for the reference's brute-force CUDA kNN
+(lib/pointops/src/knnquery/knnquery_cuda_kernel.cu) *and* for the
+generator's sort-based neighbour selection (models/PDGNet_v2.py:449-458).
+
+The XLA fallback materialises the (B, M, N) distance matrix in HBM and
+either sorts it (``lax.top_k``) or re-reads it k times (iterative argmin)
+— tens of milliseconds at generator sizes. Here each grid step computes
+one (T, N) distance tile on the MXU (or via direct per-channel broadcasts
+when C is small, which is also fp32-exact like the CUDA kernel) and
+extracts the k ascending minima in VMEM with argmin+mask passes. HBM
+traffic is just the features in and indices out.
+
+Tie-breaking matches the reference: ascending distance, lowest index
+first (argmin returns the first minimum).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_T = 128          # query rows per grid step
+_LANE_PAD = 128   # idx accumulator lane width (>= max supported k)
+
+
+def _kernel(k: int, direct: bool,
+            q_ref, dbt_ref, qsq_ref, dbsq_ref, out_ref, acc):
+    T = q_ref.shape[1]
+    N = dbt_ref.shape[2]
+    C = q_ref.shape[2]
+
+    if direct:
+        # fp32-exact direct differences (matches the CUDA kernel's math);
+        # efficient only for tiny C (xyz)
+        d = jnp.zeros((T, N), jnp.float32)
+        for c in range(C):
+            qc = q_ref[0, :, c:c + 1]                     # (T, 1)
+            dbc = dbt_ref[0, c:c + 1, :]                  # (1, N)
+            diff = qc - dbc
+            d = d + diff * diff
+    else:
+        prod = jax.lax.dot_general(
+            q_ref[0], dbt_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (T, N)
+        d = qsq_ref[0] + dbsq_ref[0] - 2.0 * prod
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    acc_lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANE_PAD), 1)
+    acc[...] = jnp.zeros((T, _LANE_PAD), jnp.int32)
+    for j in range(k):
+        # first-min extraction without an argmin primitive: min value,
+        # then the lowest lane index attaining it (two lane reductions)
+        mv = jnp.min(d, axis=1, keepdims=True)            # (T, 1)
+        hit = d <= mv
+        am_col = jnp.min(jnp.where(hit, lane, N), axis=1, keepdims=True)
+        acc[...] = jnp.where(acc_lane == j, am_col, acc[...])
+        d = jnp.where(lane == am_col, jnp.inf, d)
+    out_ref[0] = acc[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int, *,
+             interpret: bool = False) -> jnp.ndarray:
+    """Indices of the k nearest database points per query, ascending.
+
+    Args:
+      queries: ``(B, M, C)`` with ``M % 128 == 0``.
+      database: ``(B, N, C)``.
+      k: static neighbour count (``k <= 128``).
+
+    Returns:
+      ``(B, M, k)`` int32.
+    """
+    B, M, C = queries.shape
+    N = database.shape[1]
+    if M % _T:
+        raise ValueError(f"query count must be a multiple of {_T}, got {M}")
+    if k > _LANE_PAD:
+        raise ValueError(f"k must be <= {_LANE_PAD}")
+
+    direct = C <= 4
+    dbt = jnp.swapaxes(database.astype(jnp.float32), 1, 2)   # (B, C, N)
+    q = queries.astype(jnp.float32)
+    if direct:
+        qsq = jnp.zeros((B, M, 1), jnp.float32)
+        dbsq = jnp.zeros((B, 1, N), jnp.float32)
+    else:
+        qsq = jnp.sum(jnp.square(q), axis=-1, keepdims=True)   # (B, M, 1)
+        dbsq = jnp.sum(jnp.square(database.astype(jnp.float32)),
+                       axis=-1)[:, None, :]                    # (B, 1, N)
+
+    grid = (B, M // _T)
+    out = pl.pallas_call(
+        functools.partial(_kernel, k, direct),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _T, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _T, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _T, k), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_T, _LANE_PAD), jnp.int32)],
+        interpret=interpret,
+    )(q, dbt, qsq, dbsq)
+    return out

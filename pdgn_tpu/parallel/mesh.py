@@ -25,10 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    When ``batch_size`` is given, uses the largest device count that
+    divides it (a sharded batch axis must split evenly).
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 

@@ -75,6 +75,8 @@ class ExperimentConfig:
     save_dir: str = "./results"
     synthetic_size: int = 64             # for dataset='synthetic'
     max_steps_per_epoch: Optional[int] = None  # debug/smoke-test cap
+    base_points: int = 128               # generator stage-1 points (128 =
+    #                                      reference; smaller for smoke tests)
 
     @property
     def category(self) -> str:
@@ -125,13 +127,15 @@ class PDGNTrainer:
         self.cfg = cfg
         self.tcfg = _train_config(cfg)
         softmax = cfg.softmax if cfg.network == "PDGNet" else True
+        self.sizes = tuple(cfg.base_points * (2 ** i) for i in range(1, 5))
         self.generator = PointGenerator(cfg.num_point, cfg.num_k,
-                                        softmax=softmax)
+                                        softmax=softmax,
+                                        base_points=cfg.base_points)
         self.discriminators = (
             PointDiscriminator1(), PointDiscriminator2(),
             PointDiscriminator3(), PointDiscriminator4(),
         )
-        self.mesh = make_mesh()
+        self.mesh = make_mesh(batch_size=cfg.batch_size)
         self.state: Optional[GANState] = None
         self._train_step = None
         self._sampler = None
@@ -164,7 +168,7 @@ class PDGNTrainer:
             )
         if cfg.dataset == "synthetic":
             return SyntheticShapes(size=cfg.synthetic_size,
-                                   num_points=cfg.num_point)
+                                   num_points=self.sizes[-1])
         raise ValueError(f"unknown dataset {cfg.dataset}")
 
     # -- model/state ----------------------------------------------------
@@ -175,7 +179,7 @@ class PDGNTrainer:
         with self.mesh:
             self.state = init_state(
                 self.generator, self.discriminators, self.tcfg, rng,
-                batch_size=self.cfg.batch_size,
+                batch_size=self.cfg.batch_size, num_points=self.sizes,
             )
             self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(

@@ -44,3 +44,20 @@ def test_fused_cd_emd_shape_requirements(clouds):
         fused_cd_emd(jnp.zeros((1, 100, 3)), jnp.zeros((1, 100, 3)))
     with pytest.raises(ValueError):
         fused_cd_emd(jnp.zeros((1, 256, 3)), jnp.zeros((1, 512, 3)))
+
+
+def test_knn_topk_matches_naive():
+    from pdgn_tpu.ops.knn import knn_naive
+    from pdgn_tpu.ops.pallas.knn import knn_topk
+
+    rng = np.random.RandomState(3)
+    # xyz (direct-diff path)
+    xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    got = knn_topk(xyz, xyz, 8, interpret=True)
+    want = knn_naive(xyz, None, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # feature space (matmul path)
+    feats = jnp.asarray(rng.randn(2, 128, 32).astype(np.float32))
+    got = knn_topk(feats, feats, 5, interpret=True)
+    want = knn_naive(feats, None, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
