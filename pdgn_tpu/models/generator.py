@@ -80,6 +80,7 @@ class _WindowConv(nn.Module):
     four_fin: int
     window: int
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, e):
@@ -90,6 +91,7 @@ class _WindowConv(nn.Module):
             padding="VALID",
             kernel_init=torch_kaiming_uniform(),
             bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
             name="conv",
         )(e)
         y = BatchNorm(axis_name=self.axis_name)(y)
@@ -104,18 +106,20 @@ class UpsampleEdgeConv(nn.Module):
     fout: int
     k: int
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         B, N, _ = x.shape
         e = edge_features(x, self.k)                          # (B,N,k,2Fin)
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
-                           axis_name=self.axis_name)(e)       # (B,N,k/2,4Fin)
+                           axis_name=self.axis_name,
+                           dtype=self.dtype)(e)               # (B,N,k/2,4Fin)
         inte = _interleave_halves(inte, 2 * self.fin)         # (B,N,k,2Fin)
         merge = jnp.concatenate([e, inte], axis=2)            # (B,N,2k,2Fin)
         flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
         # conv2dbr: full-width [1, 2k] conv == one GEMM; BN + plain ReLU
-        y = TorchDense(2 * self.fout)(flat)
+        y = TorchDense(2 * self.fout, dtype=self.dtype)(flat)
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)                        # (B,2N,Fout)
@@ -134,6 +138,7 @@ class BilateralUpsampleEdgeConv(nn.Module):
     k: int
     softmax: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pc):
@@ -155,12 +160,13 @@ class BilateralUpsampleEdgeConv(nn.Module):
             w = nn.softmax(w, axis=2)
 
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
-                           axis_name=self.axis_name)(e_fea)
+                           axis_name=self.axis_name,
+                           dtype=self.dtype)(e_fea)
         inte = _interleave_halves(inte, 2 * self.fin)
         inte = inte * w
         merge = jnp.concatenate([e_fea, inte], axis=2)
         flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
-        y = TorchDense(2 * self.fout)(flat)
+        y = TorchDense(2 * self.fout, dtype=self.dtype)(flat)
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)
@@ -208,6 +214,7 @@ class BilateralBlock(nn.Module):
     with_g: bool = True
     softmax: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pc=None):
@@ -217,11 +224,13 @@ class BilateralBlock(nn.Module):
         if self.bilateral:
             x_ec = BilateralUpsampleEdgeConv(
                 self.fin, self.fout, self.k, softmax=self.softmax,
-                axis_name=self.axis_name, name="upsample_cov")(x, pc)
+                axis_name=self.axis_name, dtype=self.dtype,
+                name="upsample_cov")(x, pc)
         else:
             x_ec = UpsampleEdgeConv(
                 self.fin, self.fout, self.k,
-                axis_name=self.axis_name, name="upsample_cov")(x)
+                axis_name=self.axis_name, dtype=self.dtype,
+                name="upsample_cov")(x)
         # post-upsample BN + LeakyReLU (reference wraps the edge conv in
         # Sequential(BatchNorm1d, LeakyReLU) / bn_uc+relu_uc)
         x_ec = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_uc")(x_ec))
@@ -247,6 +256,9 @@ class PointGenerator(nn.Module):
     num_k: int = 20
     softmax: bool = True
     axis_name: Optional[str] = None
+    # computation dtype for the conv/GEMM stacks (params and batch norm
+    # stay fp32); jnp.bfloat16 roughly doubles sampling throughput
+    dtype: Optional[str] = None
     # first-stage point count; 128 reproduces the reference (fc1 -> 4096 =
     # 32ch x 128pts). Smaller values shrink every stage proportionally —
     # used by smoke tests; must stay > num_k // 2.
@@ -264,22 +276,24 @@ class PointGenerator(nn.Module):
         # torch view(B, 32, 128) is (channel, point); transpose to (B, N, C)
         x = x.reshape(B, 32, self.base_points).transpose(0, 2, 1)
 
+        dt = self.dtype
         b1 = BilateralBlock(32, 32, k, bilateral=False, axis_name=an,
-                            name="bilateral1")
+                            dtype=dt, name="bilateral1")
         b2 = BilateralBlock(64, 64, k, softmax=self.softmax, axis_name=an,
-                            name="bilateral2")
+                            dtype=dt, name="bilateral2")
         b3 = BilateralBlock(128, 128, k, softmax=self.softmax, axis_name=an,
-                            name="bilateral3")
+                            dtype=dt, name="bilateral3")
         b4 = BilateralBlock(256, 256, k, with_g=False,
                             softmax=self.softmax, axis_name=an,
-                            name="bilateral4")
+                            dtype=dt, name="bilateral4")
 
         x1, g1 = b1(x)                       # (B,256,64), (B,256,544)
-        x1s = MLP([256, 64, 3], name="mlp1")(g1)
+        x1s = MLP([256, 64, 3], dtype=dt, name="mlp1")(g1)
         x2, g2 = b2(x1, x1s)                 # (B,512,128), (B,512,576)
-        x2s = MLP([256, 64, 3], name="mlp2")(g2)
+        x2s = MLP([256, 64, 3], dtype=dt, name="mlp2")(g2)
         x3, g3 = b3(x2, x2s)                 # (B,1024,256), (B,1024,640)
-        x3s = MLP([256, 64, 3], name="mlp3")(g3)
+        x3s = MLP([256, 64, 3], dtype=dt, name="mlp3")(g3)
         x4, _ = b4(x3, x3s)                  # (B,2048,512)
-        x4s = MLP([256, 64, 3], name="mlp4")(x4)
-        return x1s, x2s, x3s, x4s
+        x4s = MLP([256, 64, 3], dtype=dt, name="mlp4")(x4)
+        # coordinate heads in fp32 regardless of compute dtype
+        return tuple(o.astype(jnp.float32) for o in (x1s, x2s, x3s, x4s))

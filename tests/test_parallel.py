@@ -1,0 +1,123 @@
+"""Data-parallel semantics on the 8-device virtual CPU mesh.
+
+Covers SURVEY.md §7's distributed test requirements: psum-synced batch
+norm equals concatenated-batch batch norm, sharded == single-device train
+steps, and sharded evaluation equals single-device evaluation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdgn_tpu.parallel import (
+    DATA_AXIS,
+    batch_norm,
+    batch_sharding,
+    make_mesh,
+    per_replica_batch_norm,
+    replicate,
+    shard_batch,
+)
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh()
+
+
+def test_mesh_batch_divisibility():
+    m = make_mesh(batch_size=6)
+    assert m.devices.size in (1, 2, 3, 6)
+    assert 6 % m.devices.size == 0
+    m8 = make_mesh(batch_size=16)
+    assert m8.devices.size == 8
+
+
+def test_sync_bn_equals_global_bn(mesh, rng):
+    """psum-synced BN across shards == BN over the concatenated batch."""
+    x = rng.randn(16, 10, 4).astype(np.float32)
+    scale = rng.rand(4).astype(np.float32) + 0.5
+    bias = rng.randn(4).astype(np.float32)
+
+    want = batch_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+
+    def shard_fn(xs):
+        return batch_norm(xs, jnp.asarray(scale), jnp.asarray(bias),
+                          axis_name=DATA_AXIS)
+
+    got = jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh, in_specs=P(DATA_AXIS),
+                      out_specs=P(DATA_AXIS))
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_per_replica_bn_differs_from_synced(mesh, rng):
+    """Local-stats BN (the reference DataParallel behaviour) differs."""
+    x = rng.randn(16, 10, 4).astype(np.float32) + np.arange(16)[:, None, None]
+    scale = np.ones(4, np.float32)
+    bias = np.zeros(4, np.float32)
+
+    synced = batch_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+
+    got = jax.jit(
+        jax.shard_map(
+            lambda xs: per_replica_batch_norm(
+                xs, jnp.asarray(scale), jnp.asarray(bias)),
+            mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
+        )
+    )(jnp.asarray(x))
+    assert not np.allclose(np.asarray(got), np.asarray(synced), atol=1e-3)
+
+
+def test_sharded_train_step_matches_single_device(mesh, rng):
+    """The jitted GAN step gives identical results with a sharded batch."""
+    from pdgn_tpu.models import (
+        PointDiscriminator1, PointDiscriminator2,
+        PointDiscriminator3, PointDiscriminator4, PointGenerator,
+    )
+    from pdgn_tpu.train import TrainConfig, init_state, make_train_step
+
+    sizes = (32, 64, 128, 256)
+    batch = 8
+    gen = PointGenerator(num_point=sizes[-1], num_k=20, base_points=16)
+    discs = (PointDiscriminator1(), PointDiscriminator2(),
+             PointDiscriminator3(), PointDiscriminator4())
+    cfg = TrainConfig()
+    state = init_state(gen, discs, cfg, jax.random.PRNGKey(0), batch,
+                       num_points=sizes)
+    step = jax.jit(make_train_step(gen, discs, cfg))
+    reals = tuple(
+        jnp.asarray(rng.randn(batch, n, 3).astype(np.float32)) for n in sizes
+    )
+    key = jax.random.PRNGKey(1)
+
+    _, m_single = step(state, reals, key)
+
+    with mesh:
+        state_r = replicate(mesh, state)
+        reals_s = shard_batch(mesh, reals)
+        _, m_sharded = step(state_r, reals_s, key)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_sharded[k]), rtol=2e-4,
+            err_msg=k,
+        )
+
+
+def test_sharded_eval_matches_single_device(mesh, rng):
+    from pdgn_tpu.eval import pairwise_cd_emd
+
+    sample = rng.randn(8, 32, 3).astype(np.float32)
+    ref = rng.randn(8, 32, 3).astype(np.float32)
+    cd1, emd1 = pairwise_cd_emd(sample, ref, tile=4)
+    with mesh:
+        sample_s = shard_batch(mesh, jnp.asarray(sample))
+        ref_s = shard_batch(mesh, jnp.asarray(ref))
+        cd2, emd2 = pairwise_cd_emd(sample_s, ref_s, tile=4)
+    np.testing.assert_allclose(cd1, cd2, atol=1e-5)
+    np.testing.assert_allclose(emd1, emd2, rtol=1e-4)
