@@ -1,8 +1,11 @@
 """Data layer: datasets, augmentations, device-feeding loader."""
 
 from pdgn_tpu.data.loader import (
+    Subset,
     get_data_iterator,
+    get_train_val_test_datasets,
     prefetch_to_device,
+    random_split,
     split_sizes,
     train_loader,
 )
@@ -20,6 +23,9 @@ from pdgn_tpu.data.shapenet import (
 
 __all__ = [
     "ModelNetDataset",
+    "Subset",
+    "get_train_val_test_datasets",
+    "random_split",
     "PartDataset",
     "RESOLUTIONS",
     "ShapeNetCore",

@@ -25,6 +25,41 @@ def split_sizes(dataset_len: int, train_ratio: float, val_ratio: float):
     return train, val, dataset_len - train - val
 
 
+class Subset:
+    """Index-view of a dataset (torch.utils.data.Subset equivalent)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+def random_split(dataset, lengths, seed: Optional[int] = None):
+    """Deterministic random split (torch ``random_split`` equivalent)."""
+    import numpy as np
+
+    assert sum(lengths) == len(dataset)
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    perm = rng.permutation(len(dataset))
+    out, start = [], 0
+    for n in lengths:
+        out.append(Subset(dataset, perm[start:start + n]))
+        start += n
+    return out
+
+
+def get_train_val_test_datasets(dataset, train_ratio: float,
+                                val_ratio: float, seed: Optional[int] = None):
+    """Three-way random split (reference utils/data.py:5-13)."""
+    sizes = split_sizes(len(dataset), train_ratio, val_ratio)
+    return random_split(dataset, list(sizes), seed=seed)
+
+
 def get_data_iterator(iterable) -> Iterator:
     """Infinite iterator over an epoch iterable (reference utils/data.py:25-34)."""
     while True:

@@ -101,12 +101,19 @@ def pairwise_cd_emd(
     tile: int = 8,
     with_emd: bool = True,
     verbose: bool = False,
+    symmetric: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full (N_sample, N_ref) CD and EMD matrices, tiled on device.
 
     Equivalent of reference ``_pairwise_EMD_CD_`` (evaluation_metrics.py:
     85-121) — with the per-sample launch loop replaced by (tile x tile)
     pair blocks (``tile^2`` EMD problems per device program).
+
+    ``symmetric=True`` (only valid when ``sample_pcs is ref_pcs``
+    conceptually — same set vs itself, as in the 1-NNA within-set
+    matrices) computes one triangle and mirrors it. CD is exactly
+    symmetric; approxmatch EMD is asymmetric at the ~0.1% level, so this
+    is an opt-in speedup, not the reference-parity default.
     """
     sample_pcs = jnp.asarray(sample_pcs, jnp.float32)
     ref_pcs = jnp.asarray(ref_pcs, jnp.float32)
@@ -127,15 +134,36 @@ def pairwise_cd_emd(
     emd = np.zeros_like(cd)
     n_row = sp.shape[0] // tile
     n_col = rp.shape[0] // tile
+    # dispatch asynchronously and keep a bounded window of tiles in
+    # flight — converting each tile immediately would force a host sync
+    # per tile and serialize the device
+    pending = []
+    window = 16
+
+    def drain(limit):
+        while len(pending) > limit:
+            i0, j0, c0, e0 = pending.pop(0)
+            cd[i0 * tile:(i0 + 1) * tile,
+               j0 * tile:(j0 + 1) * tile] = np.asarray(c0)
+            emd[i0 * tile:(i0 + 1) * tile,
+                j0 * tile:(j0 + 1) * tile] = np.asarray(e0)
+
     for i in range(n_row):
         srow = jax.lax.dynamic_slice_in_dim(sp, i * tile, tile)
         for j in range(n_col):
+            if symmetric and j < i:
+                continue
             rcol = jax.lax.dynamic_slice_in_dim(rp, j * tile, tile)
             c, e = _pair_tile(srow, rcol, with_emd, impl)
-            cd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(c)
-            emd[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(e)
+            pending.append((i, j, c, e))
+            drain(window)
         if verbose:
             print(f"pairwise tile row {i + 1}/{n_row}", flush=True)
+    drain(0)
+    if symmetric:
+        upper = np.triu_indices(cd.shape[0], 1)
+        cd[(upper[1], upper[0])] = cd[upper]
+        emd[(upper[1], upper[0])] = emd[upper]
     return cd[:Ns, :Nr], emd[:Ns, :Nr]
 
 
@@ -204,11 +232,14 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int,
 
 
 def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
-                        tile: int = 8, verbose: bool = False
-                        ) -> Dict[str, float]:
+                        tile: int = 8, verbose: bool = False,
+                        fast_symmetric: bool = False) -> Dict[str, float]:
     """The full suite (reference ``compute_all_metrics``, :172-200).
 
     ``batch_size`` is accepted for API parity; tiling replaces it.
+    ``fast_symmetric`` mirrors the within-set (rr/ss) matrices from one
+    triangle — ~1.5x faster overall, perturbs 1-NNA by ~0.1% (EMD is not
+    exactly symmetric); off by default for reference parity.
     """
     results: Dict[str, float] = {}
     M_rs_cd, M_rs_emd = pairwise_cd_emd(sample_pcs, ref_pcs, tile=tile,
@@ -219,9 +250,11 @@ def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
         results.update({f"{k}-{name}": v for k, v in res.items()})
 
     M_rr_cd, M_rr_emd = pairwise_cd_emd(ref_pcs, ref_pcs, tile=tile,
-                                        verbose=verbose)
+                                        verbose=verbose,
+                                        symmetric=fast_symmetric)
     M_ss_cd, M_ss_emd = pairwise_cd_emd(sample_pcs, sample_pcs, tile=tile,
-                                        verbose=verbose)
+                                        verbose=verbose,
+                                        symmetric=fast_symmetric)
 
     one_nn_cd = knn_classifier(M_rr_cd, M_rs_cd, M_ss_cd, 1, sqrt=False)
     results.update({f"1-NN-CD-{k}": v for k, v in one_nn_cd.items()

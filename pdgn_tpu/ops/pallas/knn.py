@@ -64,19 +64,9 @@ def _kernel(k: int, direct: bool,
     out_ref[0] = acc[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int, *,
-             interpret: bool = False) -> jnp.ndarray:
-    """Indices of the k nearest database points per query, ascending.
-
-    Args:
-      queries: ``(B, M, C)`` with ``M % 128 == 0``.
-      database: ``(B, N, C)``.
-      k: static neighbour count (``k <= 128``).
-
-    Returns:
-      ``(B, M, k)`` int32.
-    """
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3))
+def _knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int,
+              interpret: bool) -> jnp.ndarray:
     B, M, C = queries.shape
     N = database.shape[1]
     if M % _T:
@@ -116,3 +106,27 @@ def knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int, *,
         interpret=interpret,
     )(q, dbt, qsq, dbsq)
     return out
+
+
+@_knn_topk.defjvp
+def _knn_topk_jvp(k, interpret, primals, tangents):
+    # neighbour indices are integer-valued: no tangents flow through the
+    # kernel (this also shields pallas_call from the AD tracer)
+    out = _knn_topk(*primals, k, interpret)
+    return out, jnp.zeros(out.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int, *,
+             interpret: bool = False) -> jnp.ndarray:
+    """Indices of the k nearest database points per query, ascending.
+
+    Args:
+      queries: ``(B, M, C)`` with ``M % 128 == 0``.
+      database: ``(B, N, C)``.
+      k: static neighbour count (``k <= 128``).
+
+    Returns:
+      ``(B, M, k)`` int32.
+    """
+    return _knn_topk(queries, database, k, interpret)

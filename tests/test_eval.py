@@ -142,3 +142,18 @@ def test_jsd_between_sets_identical_is_zero():
     rng = np.random.RandomState(11)
     clouds = (rng.rand(3, 64, 3).astype(np.float32) - 0.5) * 0.4
     assert jsd_between_point_cloud_sets(clouds, clouds) < 1e-12
+
+
+def test_symmetric_pairwise_matches_full(cloud_sets):
+    sample, _ = cloud_sets
+    cd_full, emd_full = pairwise_cd_emd(sample, sample, tile=4)
+    cd_sym, emd_sym = pairwise_cd_emd(sample, sample, tile=4, symmetric=True)
+    # CD is exactly symmetric; on CPU (exact impl) the mirrored matrix
+    # matches the full computation in the upper triangle by construction
+    np.testing.assert_allclose(np.triu(cd_sym), np.triu(cd_full), atol=1e-6)
+    np.testing.assert_allclose(cd_sym, cd_sym.T, atol=1e-6)
+    np.testing.assert_allclose(emd_sym, emd_sym.T, atol=1e-6)
+    # EMD asymmetry is small
+    rel = np.abs(emd_sym - emd_full) / (np.abs(emd_full) + 1e-6)
+    np.fill_diagonal(rel, 0)
+    assert rel.max() < 0.05, rel.max()
