@@ -95,6 +95,11 @@ def _rounds(xyz1, xyz2, with_grads: bool, compact_dist: bool = False,
         remainL, remainR, cost, g1, g2 = state
         Df = D.astype(jnp.float32)                        # (B, n, m)
         dist = jnp.sqrt(Df)                               # fused (elementwise)
+        # NOTE: XLA CSEs this exp across the three contractions below —
+        # forcing an explicit (bf16) materialisation was measured SLOWER
+        # (adds HBM traffic without saving exps). The eval path is
+        # exp-throughput-bound at ~90G exp/s on v5e, which puts the
+        # per-pair floor at ~0.4 ms for the 9-round algorithm.
         K = jnp.exp(levels[i] * Df)
 
         # pass 1: per-row share of the remaining left mass
