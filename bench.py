@@ -79,18 +79,23 @@ def bench_train_step(batch: int = 35, iters: int = 10) -> float:
 
 
 def bench_eval_pairs(tile: int = 16, reps: int = 4) -> float:
-    """CD+EMD pair throughput on 2048-pt clouds (pairs/sec)."""
-    from pdgn_tpu.eval.metrics import _pair_tile
+    """CD+EMD pair throughput on 2048-pt clouds (pairs/sec).
+
+    Uses the same implementation pairwise_cd_emd would select in
+    production (the fused 'xla' path on TPU).
+    """
+    from pdgn_tpu.eval.metrics import _pair_tile, _select_impl
 
     rng = np.random.RandomState(0)
     s = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
     r = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
-    out = _pair_tile(s, r, True)
+    impl = _select_impl(2048, 2048, True)
+    out = _pair_tile(s, r, True, impl)
     float(jnp.sum(out[0]) + jnp.sum(out[1]))
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(reps):
-        out = _pair_tile(s, r, True)
+        out = _pair_tile(s, r, True, impl)
         acc = acc + jnp.sum(out[0]) + jnp.sum(out[1])
     float(acc)
     dt = (time.perf_counter() - t0) / reps

@@ -77,6 +77,19 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """
     q: Queue = Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        from queue import Full
+
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -85,20 +98,26 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                     jax.device_put(x, sharding) if hasattr(x, "shape") else x
                     for x in batch
                 )
-                q.put(put)
-            q.put(_END)
+                if not _put(put):
+                    return
+            _put(_END)
         except BaseException as e:  # noqa: BLE001 - must surface in consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the epoch (break / exception): release the
+        # producer so it doesn't park on q.put holding device batches
+        stop.set()
 
 
 def train_loader(

@@ -129,7 +129,7 @@ def pairwise_cd_emd(
 
     sp = pad(sample_pcs, tile)
     rp = pad(ref_pcs, tile)
-    impl = _select_impl(N, N, with_emd)
+    impl = _select_impl(N, int(ref_pcs.shape[1]), with_emd)
     cd = np.zeros((sp.shape[0], rp.shape[0]), np.float32)
     emd = np.zeros_like(cd)
     n_row = sp.shape[0] // tile

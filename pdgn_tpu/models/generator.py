@@ -10,18 +10,25 @@ Differences from the reference implementation (behaviour preserved):
 
 * channel-last layout ``(B, N, C)`` — every 1x1 conv becomes a Dense over
   the lane axis (one MXU matmul per layer);
-* the kNN edge gather is one batched ``take_along_axis`` instead of a
-  per-sample Python loop (reference models/PDGNet_v2.py:463-469);
-* the full-width ``[1, 2k]`` merge conv is expressed as a single GEMM over
-  the flattened ``(2k * 2Fin)`` edge features;
+* the kNN edge gather is a fused Pallas kernel / one batched gather
+  instead of a per-sample Python loop (reference models/PDGNet_v2.py:
+  463-469);
+* **edge tensors are never materialised**: the reference's edge features
+  ``e = [central | nbr - central]`` (B, N, k, 2C) feed only *linear*
+  layers, so every consumer's weight is split into central/neighbour
+  halves — the central part folds into a per-point GEMM and the
+  neighbour part contracts the raw gathered neighbours (half the bytes,
+  half the conv FLOPs; the weight-net gathers shrink to 16 channels);
 * the channel-to-point "pixel shuffle" (reference :583-585) is a reshape/
-  transpose with identical index semantics (point ``j*N+n`` gets output
-  channel pair member ``j``).
+  transpose with identical index semantics.
 
-The v2 network always applies softmax neighbour weighting regardless of the
-CLI flag (reference models/PDGNet_v2.py:95 drops the arg); v1 passes it
-through (models/PDGNet.py:95). Use ``softmax=False`` for the v1 behaviour
-with ``--softmax False``.
+Parameter tree, shapes and init distributions are identical to the
+pre-decomposition implementation (and to torch defaults), so checkpoints
+interoperate; outputs match to float tolerance.
+
+The v2 network always applies softmax neighbour weighting regardless of
+the CLI flag (reference models/PDGNet_v2.py:95 drops the arg); v1 passes
+it through (models/PDGNet.py:95).
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pdgn_tpu.models.layers import (
@@ -39,7 +47,10 @@ from pdgn_tpu.models.layers import (
     torch_bias_uniform,
     torch_kaiming_uniform,
 )
-from pdgn_tpu.ops.edges import edge_features, edge_features_xyz
+from pdgn_tpu.ops.edges import neighbor_features
+from pdgn_tpu.ops.grouping import grouping
+
+_MMF32 = dict(preferred_element_type=jnp.float32)
 
 
 def _interleave_halves(inte: jnp.ndarray, two_fin: int) -> jnp.ndarray:
@@ -69,12 +80,57 @@ def _point_pixel_shuffle(y: jnp.ndarray) -> jnp.ndarray:
     return r.reshape(B, 2 * N, fout)
 
 
-class _WindowConv(nn.Module):
-    """``inte_conv_hk``: Conv over a (k//2+1) neighbour window + BN + LReLU.
+class _ConvParams(nn.Module):
+    """Raw conv parameters with nn.Conv's tree layout ({kernel, bias})."""
 
-    Reference models/PDGNet_v2.py:561-565 / :621-625. Input
-    ``(B, N, k, 2Fin)``; VALID conv along the neighbour axis produces
-    ``(B, N, k/2, 4Fin)``.
+    shape: Tuple[int, ...]           # (1, W, in, out)
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kaiming_uniform(), self.shape)
+        bias = self.param("bias", torch_bias_uniform(self.fan_in),
+                          (self.shape[-1],))
+        return kernel, bias
+
+
+class _InnerDenseParams(nn.Module):
+    shape: Tuple[int, int]
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kaiming_uniform(), self.shape)
+        bias = self.param("bias", torch_bias_uniform(self.fan_in),
+                          (self.shape[-1],))
+        return kernel, bias
+
+
+class _DenseParams(nn.Module):
+    """Raw dense parameters with TorchDense's tree layout (dense/kernel)."""
+
+    shape: Tuple[int, int]
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        return _InnerDenseParams(self.shape, self.fan_in, name="dense")()
+
+
+def _cast(dtype, *arrays):
+    if dtype is None:
+        return arrays
+    return tuple(a.astype(dtype) for a in arrays)
+
+
+class _WindowConv(nn.Module):
+    """``inte_conv_hk`` decomposed (reference models/PDGNet_v2.py:561-565).
+
+    The original is a VALID conv over the neighbour window of the edge
+    features ``[x | nbr - x]``. Splitting the kernel into its central and
+    neighbour halves gives ``conv(e) = x @ A + conv_n(nbr)`` with
+    ``A = sum_t (Wc_t - Wn_t)`` — the conv contracts C channels instead
+    of 2C. Parameter tree identical to the nn.Conv version.
     """
 
     four_fin: int
@@ -83,19 +139,68 @@ class _WindowConv(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, e):
-        fan_in = e.shape[-1] * self.window
-        y = nn.Conv(
-            self.four_fin,
-            kernel_size=(1, self.window),
-            padding="VALID",
-            kernel_init=torch_kaiming_uniform(),
-            bias_init=torch_bias_uniform(fan_in),
-            dtype=self.dtype,
-            name="conv",
-        )(e)
+    def __call__(self, x, nbr):
+        B, N, k, C = nbr.shape
+        fan_in = 2 * C * self.window
+        kernel, bias = _ConvParams(
+            (1, self.window, 2 * C, self.four_fin), fan_in, name="conv")()
+        wc = kernel[0, :, :C, :]                     # (W, C, 4Fin)
+        wn = kernel[0, :, C:, :]
+        a_mat = jnp.sum(wc - wn, axis=0)             # (C, 4Fin)
+
+        xd, nbrd, wnd, ad = _cast(self.dtype, x, nbr, wn, a_mat)
+        point = jnp.matmul(xd, ad, **_MMF32) + bias  # (B, N, 4Fin)
+        nbr_conv = jax.lax.conv_general_dilated(
+            nbrd, wnd[None],                         # (1, W, C, 4Fin)
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )                                            # (B, N, k-W+1, 4Fin)
+        y = nbr_conv + point[:, :, None, :]
         y = BatchNorm(axis_name=self.axis_name)(y)
         return leaky_relu(y)
+
+
+def _merge_gemm(x, nbr, inte, params, dtype):
+    """The full-width ``[1, 2k]`` merge conv (reference conv2dbr), with the
+    edge half decomposed into point + neighbour contractions.
+
+    ``merge = concat([e, inte], axis=k)`` flattened over (2k, 2C); slot
+    ``j < k`` carries ``[x | nbr_j - x]``, slot ``j >= k`` carries inte.
+    """
+    kernel, bias = params                            # (2k*2C, 2F), (2F,)
+    B, N, k, C = nbr.shape
+    two_c = 2 * C
+    two_f = kernel.shape[-1]
+    kr = kernel.reshape(2 * k, two_c, two_f)
+    we_c = kr[:k, :C, :]                             # (k, C, 2F)
+    we_n = kr[:k, C:, :]
+    wi = kr[k:]                                      # (k, 2C, 2F)
+    a_mat = jnp.sum(we_c - we_n, axis=0)             # (C, 2F)
+
+    xd, nbrd, inted, wend, wid, ad = _cast(dtype, x, nbr, inte, we_n, wi,
+                                           a_mat)
+    y = jnp.matmul(xd, ad, **_MMF32)
+    y = y + jnp.einsum("bnkc,kco->bno", nbrd, wend, **_MMF32)
+    y = y + jnp.einsum("bnkc,kco->bno", inted, wid, **_MMF32)
+    return y + bias
+
+
+def _split_1x1(x, gathered_src, idx, params, dtype):
+    """A 1x1 conv over edge features, decomposed.
+
+    ``e @ W = x @ (Wc - Wn) [broadcast over k] + gather(src @ Wn, idx)``
+    — the gather moves to the (tiny) projected space.
+    """
+    kernel, bias = params                            # (2C_src, F)
+    C = gathered_src.shape[-1]
+    wc = kernel[:C, :]
+    wn = kernel[C:, :]
+    xd, srcd, wcd, wnd = _cast(dtype, x, gathered_src, wc - wn, wn)
+    point = jnp.matmul(xd, wcd, **_MMF32)            # (B, N, F)
+    proj = jnp.matmul(srcd, wnd, **_MMF32)           # (B, N, F)
+    nbr_term = grouping(proj, idx)                   # (B, N, k, F)
+    return point[:, :, None, :] + nbr_term + bias
 
 
 class UpsampleEdgeConv(nn.Module):
@@ -110,16 +215,16 @@ class UpsampleEdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B, N, _ = x.shape
-        e = edge_features(x, self.k)                          # (B,N,k,2Fin)
+        B, N, C = x.shape
+        idx, nbr = neighbor_features(x, self.k)               # (B,N,k,C)
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
                            axis_name=self.axis_name,
-                           dtype=self.dtype)(e)               # (B,N,k/2,4Fin)
+                           dtype=self.dtype)(x, nbr)          # (B,N,k/2,4Fin)
         inte = _interleave_halves(inte, 2 * self.fin)         # (B,N,k,2Fin)
-        merge = jnp.concatenate([e, inte], axis=2)            # (B,N,2k,2Fin)
-        flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
-        # conv2dbr: full-width [1, 2k] conv == one GEMM; BN + plain ReLU
-        y = TorchDense(2 * self.fout, dtype=self.dtype)(flat)
+        merge_params = _DenseParams(
+            (2 * self.k * 2 * self.fin, 2 * self.fout),
+            fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
+        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype)
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)                        # (B,2N,Fout)
@@ -131,6 +236,9 @@ class BilateralUpsampleEdgeConv(nn.Module):
     Reference ``bilateral_upsample_edgeConv`` (models/PDGNet_v2.py:590-650):
     the interpolated neighbour features are gated by a weight net driven by
     both feature-space and xyz-space edge features before the merge conv.
+    The xyz edge features use the *feature-space* kNN graph (reference
+    :479-528) and are consumed only by a 16-channel 1x1 conv, which the
+    decomposition turns into a 16-channel gather.
     """
 
     fin: int
@@ -142,13 +250,18 @@ class BilateralUpsampleEdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, pc):
-        B, N, _ = x.shape
-        e_fea, e_xyz = edge_features_xyz(x, pc, self.k)
-        # weight net: conv_fea(e_fea) * conv_xyz(e_xyz) -> conv_all
-        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fea")(
-            TorchDense(16, name="conv_fea")(e_fea)))
-        w_xyz = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_xyz")(
-            TorchDense(16, name="conv_xyz")(e_xyz)))
+        B, N, C = x.shape
+        idx, nbr = neighbor_features(x, self.k)
+
+        fea_params = _DenseParams((2 * C, 16), fan_in=2 * C,
+                                  name="conv_fea")()
+        w_fea = _split_1x1(x, x, idx, fea_params, self.dtype)
+        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name,
+                                     name="bn_fea")(w_fea))
+        xyz_params = _DenseParams((6, 16), fan_in=6, name="conv_xyz")()
+        w_xyz = _split_1x1(pc, pc, idx, xyz_params, self.dtype)
+        w_xyz = leaky_relu(BatchNorm(axis_name=self.axis_name,
+                                     name="bn_xyz")(w_xyz))
         w = w_fea * w_xyz
         w = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_all1")(
             TorchDense(64, name="conv_all1")(w)))
@@ -161,12 +274,13 @@ class BilateralUpsampleEdgeConv(nn.Module):
 
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
                            axis_name=self.axis_name,
-                           dtype=self.dtype)(e_fea)
+                           dtype=self.dtype)(x, nbr)
         inte = _interleave_halves(inte, 2 * self.fin)
         inte = inte * w
-        merge = jnp.concatenate([e_fea, inte], axis=2)
-        flat = merge.reshape(B, N, 2 * self.k * 2 * self.fin)
-        y = TorchDense(2 * self.fout, dtype=self.dtype)(flat)
+        merge_params = _DenseParams(
+            (2 * self.k * 2 * self.fin, 2 * self.fout),
+            fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
+        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype)
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)
@@ -257,7 +371,7 @@ class PointGenerator(nn.Module):
     softmax: bool = True
     axis_name: Optional[str] = None
     # computation dtype for the conv/GEMM stacks (params and batch norm
-    # stay fp32); jnp.bfloat16 roughly doubles sampling throughput
+    # stay fp32)
     dtype: Optional[str] = None
     # first-stage point count; 128 reproduces the reference (fc1 -> 4096 =
     # 32ch x 128pts). Smaller values shrink every stage proportionally —

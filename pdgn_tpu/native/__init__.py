@@ -35,16 +35,26 @@ _HANDLERS = {
 
 
 def _build() -> str:
-    """Compile the shared library if missing or stale."""
+    """Compile the shared library if missing or stale.
+
+    Compiles to a unique temp file and renames atomically so concurrent
+    processes never dlopen a partially-written .so.
+    """
     if (os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
     include_dir = jax.ffi.include_dir()
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-shared", "-fPIC", "-O3", "-std=c++17",
-        f"-I{include_dir}", _SRC, "-o", _LIB,
+        f"-I{include_dir}", _SRC, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _LIB
 
 

@@ -43,14 +43,35 @@ def _neighbor_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
     Uses the fused Pallas kernel on TPU (no materialised distance matrix);
     falls back to an XLA pairwise + iterative top-k elsewhere.
     """
+    import os
+
     from pdgn_tpu.ops.knn import _pallas_knn_ok
 
-    if _pallas_knn_ok(x, k + 1):
+    # PDGN_EXACT_KNN demands fp32-exact graphs; the Pallas kernel's
+    # feature-space matmul runs at default (bf16) precision, so honour the
+    # flag by taking the XLA path with HIGHEST-precision distances.
+    exact = bool(os.environ.get("PDGN_EXACT_KNN"))
+    if not exact and _pallas_knn_ok(x, k + 1):
         from pdgn_tpu.ops.pallas.knn import knn_topk
 
         return knn_topk(x, x, k + 1)[..., 1:]
     dist = self_pairwise_sqdist(x, precision=_graph_precision())
     return knn_exclude_first(dist, k)
+
+
+def neighbor_features(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Feature-space kNN indices (1..k, self excluded) plus raw gathered
+    neighbours — the un-materialised half of :func:`edge_features`.
+
+    Consumers that are linear in the edge channels (all of PDGN's) should
+    prefer this and fold the central term into a per-point GEMM; see
+    pdgn_tpu.models.generator.
+
+    Returns:
+      ``idx (B, N, k)`` int32 and ``nbr (B, N, k, C)``.
+    """
+    idx = _neighbor_idx(x, k)
+    return idx, grouping(x, idx)
 
 
 def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -37,7 +37,16 @@ def initialize_distributed(
 
 
 def local_batch_slice(global_batch: int) -> slice:
-    """The host-local slice of a globally-sharded batch."""
-    per = global_batch // jax.process_count()
+    """The host-local slice of a globally-sharded batch.
+
+    Requires the global batch to split evenly across processes (a sharded
+    batch axis cannot have a remainder).
+    """
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by "
+            f"{n} processes")
+    per = global_batch // n
     start = jax.process_index() * per
     return slice(start, start + per)

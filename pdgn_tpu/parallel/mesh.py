@@ -39,6 +39,14 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         n = len(devices)
         while n > 1 and batch_size % n:
             n -= 1
+        if n < len(devices):
+            import warnings
+
+            warnings.warn(
+                f"batch_size={batch_size} is not divisible by the "
+                f"{len(devices)} available devices; using {n} device(s). "
+                f"Pick a batch size divisible by {len(devices)} to use the "
+                "whole mesh.", stacklevel=2)
         devices = devices[:n]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

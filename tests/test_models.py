@@ -92,3 +92,22 @@ def test_discriminator_param_counts():
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 3)))
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
         assert n == expected, (factory.__name__, n)
+
+
+def test_dense_dbr_layer():
+    """fcdbr-parity layer (Dense + Dropout + BN + activation)."""
+    import flax.linen as nn_
+
+    from pdgn_tpu.models.layers import DenseDBR
+
+    m = DenseDBR(8, drop_rate=0.5, negative_slope=0.01)
+    x = jnp.ones((4, 6))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out, _ = m.apply(variables, x, deterministic=True,
+                     mutable=["batch_stats"])
+    assert out.shape == (4, 8)
+    # stochastic mode needs a dropout rng and changes the output
+    out2, _ = m.apply(variables, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)},
+                      mutable=["batch_stats"])
+    assert out2.shape == (4, 8)
