@@ -131,13 +131,16 @@ def main(argv=None) -> None:
     trainer.build_model()
 
     if args.phase == 'train':
-        # back up the entry script into the checkpoint dir (reference
-        # main.py:97-99 shells out to cp; same effect, no shell)
+        # back up the entry script + model source into the checkpoint dir
+        # (reference main.py:97-99 shells out to cp; same effect, no shell)
         dst = os.path.join(args.checkpoint_dir, args.model_dir)
-        try:
-            shutil.copy(os.path.abspath(sys.argv[0]), dst)
-        except (OSError, shutil.SameFileError):
-            pass
+        import pdgn_tpu.models.generator as _gen_mod
+
+        for src in (os.path.abspath(sys.argv[0]), _gen_mod.__file__):
+            try:
+                shutil.copy(src, dst)
+            except (OSError, shutil.SameFileError):
+                pass
         trainer.train()
         print(" [*] Training finished!")
     elif args.phase == 'test':
