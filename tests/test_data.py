@@ -150,3 +150,82 @@ def test_shapenet_multi_category_and_all(tiny_hdf5):
     # missing from the file raise KeyError on load, so restrict via list
     d2 = ShapeNetCore(tiny_hdf5, ["airplane"], "val", "shape_bbox")
     assert len(d2) == 2
+
+
+@pytest.fixture(scope="module")
+def modelnet_root(tmp_path_factory):
+    """Miniature modelnet40_normal_resampled layout."""
+    root = tmp_path_factory.mktemp("mn")
+    d = root / "modelnet40_normal_resampled"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    names = ["chair", "table"]
+    (d / "modelnet10_shape_names.txt").write_text("\n".join(names) + "\n")
+    (d / "modelnet40_shape_names.txt").write_text("\n".join(names) + "\n")
+    ids = []
+    for name in names:
+        (d / name).mkdir()
+        for i in range(2):
+            sid = f"{name}_{i:04d}"
+            ids.append(sid)
+            pts = rng.randn(2100, 6).astype(np.float32)
+            np.savetxt(d / name / f"{sid}.txt", pts, delimiter=",")
+    (d / "modelnet10_train.txt").write_text("\n".join(ids) + "\n")
+    (d / "modelnet10_test.txt").write_text("\n".join(ids[:2]) + "\n")
+    (d / "modelnet40_train.txt").write_text("\n".join(ids) + "\n")
+    (d / "modelnet40_test.txt").write_text("\n".join(ids[:2]) + "\n")
+    return str(root) + "/"
+
+
+def test_modelnet_loader(modelnet_root):
+    from pdgn_tpu.data import ModelNetDataset
+
+    d = ModelNetDataset(root=modelnet_root, split="train", normalize=True,
+                        normal_channel=False, modelnet10=True)
+    assert len(d) == 4
+    p1, p2, p3, p4, cls = d[0]
+    assert p1.shape == (256, 3) and p4.shape == (2048, 3)
+    # unit-sphere normalisation per slice
+    assert abs(np.linalg.norm(p4, axis=1).max() - 1.0) < 1e-5
+    assert cls.shape == (1,)
+    # class filter
+    d2 = ModelNetDataset(root=modelnet_root, split="train",
+                         modelnet10=True, class_choice="chair")
+    assert len(d2) == 2
+
+
+@pytest.fixture(scope="module")
+def partdata_root(tmp_path_factory):
+    """Miniature shapenet-part (.pts/.seg) layout."""
+    root = tmp_path_factory.mktemp("part")
+    rng = np.random.RandomState(0)
+    (root / "synsetoffset2category.txt").write_text(
+        "Chair\t03001627\nTable\t04379243\n")
+    for synset in ("03001627", "04379243"):
+        (root / synset / "points").mkdir(parents=True)
+        (root / synset / "points_label").mkdir(parents=True)
+        for i in range(3):
+            n = 2500 if i == 0 else 500  # test both replace branches
+            np.savetxt(root / synset / "points" / f"{i}.pts",
+                       rng.randn(n, 3).astype(np.float32))
+            np.savetxt(root / synset / "points_label" / f"{i}.seg",
+                       rng.randint(1, 5, n))
+    return str(root)
+
+
+def test_partdataset_loader(partdata_root):
+    from pdgn_tpu.data import PartDataset
+
+    d = PartDataset(root=partdata_root, batch_size=2, train=True)
+    # 90% of 3 files per category -> 2 each
+    assert len(d) == 4
+    p1, p2, p3, p4, seg = d[0]
+    assert p1.shape == (256, 3) and p4.shape == (2048, 3)
+    assert seg.shape == (1024,)
+    assert d.num_seg_classes >= 1
+
+    dc = PartDataset(root=partdata_root, batch_size=2, train=False,
+                     classification=True)
+    assert len(dc) == 2
+    *_, cls = dc[0]
+    assert cls.shape == (1,)
