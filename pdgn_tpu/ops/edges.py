@@ -65,11 +65,29 @@ def neighbor_features(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
 
     Consumers that are linear in the edge channels (all of PDGN's) should
     prefer this and fold the central term into a per-point GEMM; see
-    pdgn_tpu.models.generator.
+    pdgn_tpu.models.generator. On TPU the kNN and the gather fuse into one
+    Pallas kernel (the gather runs as an in-VMEM one-hot MXU matmul —
+    values ~fp32-exact via a bf16 hi/lo split; PDGN_EXACT_KNN selects the
+    fully exact XLA path instead).
 
     Returns:
       ``idx (B, N, k)`` int32 and ``nbr (B, N, k, C)``.
     """
+    import os
+
+    from pdgn_tpu.ops.knn import _pallas_knn_ok
+
+    # PDGN_FUSED_GATHER opts into the fully-fused kNN+gather kernel
+    # (ops/pallas/knn.py::knn_gather). Measured only ~2% faster than
+    # kNN-kernel + XLA gather and its bf16 hi/lo side inputs raise HBM
+    # pressure at large batches, so it is not the default yet — it is the
+    # building block for the round-2 edge-conv megakernel.
+    if (os.environ.get("PDGN_FUSED_GATHER")
+            and not os.environ.get("PDGN_EXACT_KNN")
+            and _pallas_knn_ok(x, k + 1)):
+        from pdgn_tpu.ops.pallas.knn import knn_gather
+
+        return knn_gather(x, k)
     idx = _neighbor_idx(x, k)
     return idx, grouping(x, idx)
 

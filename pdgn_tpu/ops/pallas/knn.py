@@ -116,6 +116,147 @@ def _knn_topk_jvp(k, interpret, primals, tangents):
     return out, jnp.zeros(out.shape, jax.dtypes.float0)
 
 
+def _gather_kernel(k: int, direct: bool,
+                   q_ref, dbt_ref, db_hi_ref, db_lo_ref, qsq_ref, dbsq_ref,
+                   idx_ref, nbr_ref, acc):
+    """kNN (drop-first) + in-VMEM one-hot MXU gather of the neighbours.
+
+    Extraction runs for k+1 minima; slot 0 (the query itself) is dropped.
+    The gather multiplies a one-hot (T, N) mask against the database held
+    in VMEM — split into bf16 hi/lo halves so the reconstructed values
+    match fp32 to ~2^-16 relative (an fp32 TPU gather would crawl at
+    ~30-100 GB/s through HBM; this runs on the MXU).
+    """
+    T = q_ref.shape[1]
+    N = dbt_ref.shape[2]
+    C = q_ref.shape[2]
+
+    if direct:
+        d = jnp.zeros((T, N), jnp.float32)
+        for c in range(C):
+            qc = q_ref[0, :, c:c + 1]
+            dbc = dbt_ref[0, c:c + 1, :]
+            diff = qc - dbc
+            d = d + diff * diff
+    else:
+        prod = jax.lax.dot_general(
+            q_ref[0], dbt_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = qsq_ref[0] + dbsq_ref[0] - 2.0 * prod
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    acc_lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANE_PAD), 1)
+    acc[...] = jnp.zeros((T, _LANE_PAD), jnp.int32)
+    for j in range(k + 1):
+        mv = jnp.min(d, axis=1, keepdims=True)
+        hit = d <= mv
+        am_col = jnp.min(jnp.where(hit, lane, N), axis=1, keepdims=True)
+        acc[...] = jnp.where(acc_lane == j, am_col, acc[...])
+        d = jnp.where(lane == am_col, jnp.inf, d)
+    idx_ref[0] = acc[:, 1:k + 1]
+
+    db_hi = db_hi_ref[0]                             # (N, C) bf16
+    db_lo = db_lo_ref[0]
+    for j in range(k):
+        sel = acc[:, j + 1:j + 2]                    # (T, 1), skip self
+        oh = (lane == sel).astype(jnp.bfloat16)      # (T, N)
+        row = jax.lax.dot_general(
+            oh, db_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = row + jax.lax.dot_general(
+            oh, db_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        nbr_ref[0, :, j, :] = row
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def knn_gather(x: jnp.ndarray, k: int, interpret: bool = False):
+    """Fused self-kNN (self excluded) + neighbour gather.
+
+    Args:
+      x: ``(B, M, C)`` with ``M % 128 == 0``.
+      k: neighbours after dropping the nearest (the point itself).
+
+    Returns:
+      ``idx (B, M, k)`` int32 and ``nbr (B, M, k, C)`` (~fp32-exact via a
+      bf16 hi/lo split).
+    """
+    B, M, C = x.shape
+    if M % _T:
+        raise ValueError(f"query count must be a multiple of {_T}, got {M}")
+    if k + 1 > _LANE_PAD:
+        raise ValueError(f"k must be < {_LANE_PAD}")
+
+    direct = C <= 4
+    xf = x.astype(jnp.float32)
+    dbt = jnp.swapaxes(xf, 1, 2)                     # (B, C, M)
+    if direct:
+        qsq = jnp.zeros((B, M, 1), jnp.float32)
+        dbsq = jnp.zeros((B, 1, M), jnp.float32)
+    else:
+        qsq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+        dbsq = jnp.swapaxes(qsq, 1, 2)
+
+    # bf16 hi/lo split computed outside the kernel: inside, XLA's
+    # allow_excess_precision folds the round-trip casts and the lo part
+    # vanishes. The barrier pins the split.
+    db_hi = jax.lax.optimization_barrier(xf.astype(jnp.bfloat16))
+    db_lo = jax.lax.optimization_barrier(
+        (xf - db_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+
+    idx, nbr = pl.pallas_call(
+        functools.partial(_gather_kernel, k, direct),
+        grid=(B, M // _T),
+        in_specs=[
+            pl.BlockSpec((1, _T, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, M), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _T, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _T, k), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _T, k, C), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, M, k, C), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((_T, _LANE_PAD), jnp.int32)],
+        interpret=interpret,
+    )(xf, dbt, db_hi, db_lo, qsq, dbsq)
+    return idx, nbr
+
+
+def _knn_gather_fwd(x, k, interpret):
+    idx, nbr = knn_gather(x, k, interpret)
+    return (idx, nbr), (idx, x.shape)
+
+
+def _knn_gather_bwd(k, interpret, res, cts):
+    idx, x_shape = res
+    _, g_nbr = cts
+    B, M, C = x_shape
+    # transpose of the gather: scatter-add the neighbour cotangents back
+    gid = idx.reshape(B, M * k) + (
+        jnp.arange(B, dtype=idx.dtype) * M)[:, None]
+    flat = jnp.zeros((B * M, C), g_nbr.dtype)
+    flat = flat.at[gid.reshape(-1)].add(g_nbr.reshape(B * M * k, C))
+    return (flat.reshape(B, M, C),)
+
+
+knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_topk(queries: jnp.ndarray, database: jnp.ndarray, k: int, *,
              interpret: bool = False) -> jnp.ndarray:

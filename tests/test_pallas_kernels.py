@@ -61,3 +61,35 @@ def test_knn_topk_matches_naive():
     got = knn_topk(feats, feats, 5, interpret=True)
     want = knn_naive(feats, None, 5)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_knn_gather_matches_separate_ops():
+    from pdgn_tpu.ops.edges import _neighbor_idx
+    from pdgn_tpu.ops.grouping import grouping
+    from pdgn_tpu.ops.pallas.knn import knn_gather
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    idx, nbr = knn_gather(x, 4, True)
+    idx_ref = _neighbor_idx(x, 4)
+    nbr_ref = grouping(x, idx_ref)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    # bf16 hi/lo split reconstructs fp32 to ~2^-16 relative
+    np.testing.assert_allclose(np.asarray(nbr), np.asarray(nbr_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_knn_gather_gradient_matches_take_path():
+    import jax as _jax
+
+    from pdgn_tpu.ops.edges import _neighbor_idx
+    from pdgn_tpu.ops.grouping import grouping
+    from pdgn_tpu.ops.pallas.knn import knn_gather
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 128, 8).astype(np.float32))
+    g1 = _jax.grad(lambda a: jnp.sum(knn_gather(a, 3, True)[1] ** 2))(x)
+    g2 = _jax.grad(
+        lambda a: jnp.sum(grouping(a, _neighbor_idx(a, 3)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)
