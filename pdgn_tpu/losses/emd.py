@@ -54,6 +54,28 @@ def _multipliers(n: int, m: int) -> Tuple[float, float]:
     return float(m // n), 1.0
 
 
+def _fast_exp_neg(x: jnp.ndarray) -> jnp.ndarray:
+    """Approximate ``exp(x)`` for ``x <= 0`` (max rel err ~5e-5).
+
+    Exponent-bit assembly plus a degree-5 polynomial for the fractional
+    power of two. The reference CUDA kernel uses the approximate
+    ``__expf`` (approxmatch.cu:55), so this would be parity-faithful —
+    but swapping it into the eval loop measured 3x SLOWER than the
+    library exp (the op chain breaks XLA's elementwise fusion). Kept,
+    unused, as the candidate for a future Pallas-kernel exp where the
+    fusion is explicit.
+    """
+    LOG2E = 1.4426950408889634
+    y = jnp.maximum(x * LOG2E, -126.0)
+    i = jnp.floor(y)
+    f = y - i
+    p = ((((0.0018775767 * f + 0.0089893397) * f + 0.0558617245) * f
+          + 0.2402290070) * f + 0.6931471805) * f + 1.0
+    pow2i = jax.lax.bitcast_convert_type(
+        (i.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return p * pow2i
+
+
 def _rounds(xyz1, xyz2, with_grads: bool, compact_dist: bool = False,
             with_cd: bool = False):
     """Run the 9 balancing rounds; return cost (and grads / CD if requested).
@@ -95,11 +117,13 @@ def _rounds(xyz1, xyz2, with_grads: bool, compact_dist: bool = False,
         remainL, remainR, cost, g1, g2 = state
         Df = D.astype(jnp.float32)                        # (B, n, m)
         dist = jnp.sqrt(Df)                               # fused (elementwise)
-        # NOTE: XLA CSEs this exp across the three contractions below —
-        # forcing an explicit (bf16) materialisation was measured SLOWER
-        # (adds HBM traffic without saving exps). The eval path is
-        # exp-throughput-bound at ~90G exp/s on v5e, which puts the
-        # per-pair floor at ~0.4 ms for the 9-round algorithm.
+        # NOTE: two optimizations were tried here and both measured
+        # SLOWER, so this stays a plain exp: (a) forcing an explicit bf16
+        # materialisation of K (XLA already CSEs the exp across the three
+        # contractions; the barrier only added HBM traffic), and (b) a
+        # 14-op polynomial fast-exp (_fast_exp_neg) — it broke XLA's
+        # fusion and tripled the wall clock, disproving the exp-bound
+        # hypothesis. See PERF.md.
         K = jnp.exp(levels[i] * Df)
 
         # pass 1: per-row share of the remaining left mass
