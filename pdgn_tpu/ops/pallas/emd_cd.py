@@ -35,58 +35,61 @@ _ROUNDS = 9        # j = 7 .. -1, level = -4^j
 _TILE = 256        # row-tile size (sublane-aligned)
 
 
-def _kernel(x1_ref, x2_ref, x1sqc_ref, x1sqr_ref, x2sqc_ref, x2sqr_ref,
+def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             cost_ref, cd_ref,
-            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc):
-    n = x1_ref.shape[2]
-    m = x2_ref.shape[2]
+            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf):
+    n = x1c_ref.shape[1]
+    m = x2c_ref.shape[1]
     nt = n // _TILE
     mt = m // _TILE
 
-    x1_all = x1_ref[0]            # (3, n) value
-    x2_all = x2_ref[0]            # (3, m) value
-    x1sqr = x1sqr_ref[0]          # (1, n)
-    x2sqr = x2sqr_ref[0]          # (1, m)
-
+    # remainL/ratioL live as column vectors (consumed per row tile);
+    # remainR/ratioR live as ROW vectors so the row-tile contractions run
+    # as VPU broadcast + lane reductions instead of 1-column MXU matvecs
     remainL[:, :] = jnp.ones((n, 1), jnp.float32)
-    remainR[:, :] = jnp.ones((m, 1), jnp.float32)
+    remainR[:, :] = jnp.ones((1, m), jnp.float32)
     acc[0, 0] = 0.0
 
     def d2_row_tile(t):
-        """(TILE, m) distances: rows = x1 tile, cols = all x2."""
-        x1c = x1_ref[0, :, pl.ds(t * _TILE, _TILE)]           # (3, T)
-        prod = jax.lax.dot_general(
-            x1c, x2_all, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)               # (T, m)
-        return (x1sqc_ref[0, pl.ds(t * _TILE, _TILE), :]
-                + x2sqr - 2.0 * prod)
+        """(TILE, m) distances via direct per-channel differences
+        (fp32-exact and much cheaper on the VPU than a K=3 MXU matmul
+        at HIGHEST precision)."""
+        d = jnp.zeros((_TILE, m), jnp.float32)
+        for c in range(3):
+            a = x1c_ref[0, pl.ds(t * _TILE, _TILE), c:c + 1]  # (T, 1)
+            b = x2r_ref[0, c:c + 1, :]                        # (1, m)
+            diff = a - b
+            d = d + diff * diff
+        return d
 
     def d2_col_tile(t):
         """(TILE, n) distances: rows = x2 tile, cols = all x1."""
-        x2c = x2_ref[0, :, pl.ds(t * _TILE, _TILE)]
-        prod = jax.lax.dot_general(
-            x2c, x1_all, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)               # (T, n)
-        return (x2sqc_ref[0, pl.ds(t * _TILE, _TILE), :]
-                + x1sqr - 2.0 * prod)
+        d = jnp.zeros((_TILE, n), jnp.float32)
+        for c in range(3):
+            a = x2c_ref[0, pl.ds(t * _TILE, _TILE), c:c + 1]
+            b = x1r_ref[0, c:c + 1, :]
+            diff = a - b
+            d = d + diff * diff
+        return d
 
-    def mv(w, v):
-        """(T, m) @ (m, 1) matvec on the MXU."""
-        return jax.lax.dot_general(
-            w, v, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+    def row_reduce(w, v_row):
+        """sum(w * v_row, axis=1): a (T, m) x (1, m) contraction on the
+        VPU — a 1-column MXU matvec would idle 127/128 of the array."""
+        return jnp.sum(w * v_row, axis=1, keepdims=True)      # (T, 1)
 
     def round_body(r, _):
         level = -jnp.exp2(14.0 - 2.0 * r.astype(jnp.float32))
 
-        # ---- pass 1: ratioL = remainL / (K @ remainR + 1e-9)
+        # ---- pass 1: ratioL = remainL / (K @ remainR + 1e-9); the kernel
+        # matrix is computed ONCE per round here and cached in VMEM as
+        # bf16 for passes 2 and 3 (the XLA path recomputes the exp; the
+        # exps are a large share of the VPU work)
         def p1(t, _):
             d2 = d2_row_tile(t)
-            suml = mv(jnp.exp(level * d2), remainR[:, :])     # (T, 1)
+            k = jnp.exp(level * d2)
             sl = pl.ds(t * _TILE, _TILE)
+            kbuf[sl, :] = k
+            suml = row_reduce(k, remainR[:, :])               # (T, 1)
             ratioL[sl, :] = remainL[sl, :] / (suml + 1e-9)
 
             @pl.when(r == 0)
@@ -97,19 +100,23 @@ def _kernel(x1_ref, x2_ref, x1sqc_ref, x1sqr_ref, x2sqc_ref, x2sqr_ref,
 
         jax.lax.fori_loop(0, nt, p1, 0)
 
-        # ---- pass 2: right absorption
+        # ---- pass 2: right absorption (transposed reads of the K cache;
+        # the contraction over n runs as a sublane reduction)
         def p2(t, _):
-            d2 = d2_col_tile(t)
-            sumr = mv(jnp.exp(level * d2), ratioL[:, :])      # (T, 1)
             sl = pl.ds(t * _TILE, _TILE)
-            sumr = sumr * remainR[sl, :]
-            consumption = jnp.minimum(remainR[sl, :] / (sumr + 1e-9), 1.0)
-            ratioR[sl, :] = consumption * remainR[sl, :]
-            remainR[sl, :] = jnp.maximum(0.0, remainR[sl, :] - sumr)
+            kc = kbuf[:, sl]                                  # (n, T)
+            sumr = jnp.sum(kc * ratioL[:, :], axis=0,
+                           keepdims=True)                     # (1, T)
+            rr = remainR[0:1, sl]                             # (1, T)
+            sumr = sumr * rr
+            consumption = jnp.minimum(rr / (sumr + 1e-9), 1.0)
+            ratioR[0:1, sl] = consumption * rr
+            remainR[0:1, sl] = jnp.maximum(0.0, rr - sumr)
 
             @pl.when(r == 0)
             def _():
-                colmin[sl, :] = jnp.min(d2, axis=1, keepdims=True)
+                colmin[sl, :] = jnp.min(d2_col_tile(t), axis=1,
+                                        keepdims=True)
 
             return 0
 
@@ -117,14 +124,15 @@ def _kernel(x1_ref, x2_ref, x1sqc_ref, x1sqr_ref, x2sqc_ref, x2sqr_ref,
 
         # ---- pass 3: transport increment -> cost, remainL update
         def p3(t, carry):
-            d2 = d2_row_tile(t)
-            k = jnp.exp(level * d2)
             sl = pl.ds(t * _TILE, _TILE)
+            k = kbuf[sl, :]                                    # (T, m)
+            kr = k * ratioR[:, :]                              # (T, m)
             rl = ratioL[sl, :]                                 # (T, 1)
-            suml2 = rl * mv(k, ratioR[:, :])
+            suml2 = rl * jnp.sum(kr, axis=1, keepdims=True)
             remainL[sl, :] = jnp.maximum(0.0, remainL[sl, :] - suml2)
+            d2 = d2_row_tile(t)
             dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-            contrib = rl * mv(k * dist, ratioR[:, :])          # (T, 1)
+            contrib = rl * jnp.sum(kr * dist, axis=1, keepdims=True)
             return carry + jnp.sum(contrib)
 
         round_cost = jax.lax.fori_loop(0, nt, p3, jnp.float32(0.0))
@@ -160,10 +168,10 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
     if n != m:
         raise ValueError("fused kernel assumes n == m (reference test path)")
 
-    x1t = jnp.swapaxes(xyz1.astype(jnp.float32), 1, 2)     # (B, 3, n)
-    x2t = jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2)
-    x1sq = jnp.sum(jnp.square(xyz1.astype(jnp.float32)), axis=-1)
-    x2sq = jnp.sum(jnp.square(xyz2.astype(jnp.float32)), axis=-1)
+    x1f = xyz1.astype(jnp.float32)                         # (B, n, 3)
+    x2f = xyz2.astype(jnp.float32)
+    x1t = jnp.swapaxes(x1f, 1, 2)                          # (B, 3, n)
+    x2t = jnp.swapaxes(x2f, 1, 2)
 
     def spec(shape):
         zeros = (0,) * len(shape)
@@ -175,8 +183,8 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
         _kernel,
         grid=(B,),
         in_specs=[
+            spec((n, 3)), spec((m, 3)),
             spec((3, n)), spec((3, m)),
-            spec((n, 1)), spec((1, n)), spec((m, 1)), spec((1, m)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -190,19 +198,22 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
         ),
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),   # remainL
-            pltpu.VMEM((m, 1), jnp.float32),   # remainR
+            pltpu.VMEM((1, m), jnp.float32),   # remainR (row layout)
             pltpu.VMEM((n, 1), jnp.float32),   # ratioL
-            pltpu.VMEM((m, 1), jnp.float32),   # ratioR
+            pltpu.VMEM((1, m), jnp.float32),   # ratioR (row layout)
             pltpu.VMEM((n, 1), jnp.float32),   # rowmin
             pltpu.VMEM((m, 1), jnp.float32),   # colmin
             pltpu.SMEM((1, 1), jnp.float32),   # cost accumulator
+            pltpu.VMEM((n, m), jnp.float32),   # per-round K cache
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(B) * _ROUNDS * 3 * 2 * n * m * 4,
             bytes_accessed=int(B) * (n + m) * 4 * 8,
             transcendentals=int(B) * _ROUNDS * 3 * n * m,
         ),
         interpret=interpret,
-    )(x1t, x2t, x1sq[..., None], x1sq[:, None, :],
-      x2sq[..., None], x2sq[:, None, :])
+    )(x1f, x2f, x1t, x2t)
     return cd[:, 0, 0], cost[:, 0, 0]

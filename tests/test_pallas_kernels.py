@@ -27,8 +27,10 @@ def test_fused_cd_emd_matches_jnp(clouds):
     cd, cost = fused_cd_emd(x1, x2, interpret=True)
     np.testing.assert_allclose(
         np.asarray(cd), np.asarray(chamfer_cd(x1, x2)), rtol=1e-5)
+    # the per-round K cache is bf16 (like the XLA eval path's bf16 D):
+    # cost matches the exact path to ~1e-3 relative
     np.testing.assert_allclose(
-        np.asarray(cost), np.asarray(match_cost(x1, x2)), rtol=5e-4)
+        np.asarray(cost), np.asarray(match_cost(x1, x2)), rtol=2e-3)
 
 
 def test_fused_cd_emd_identical_pairs(clouds):
