@@ -33,11 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROUNDS = 9        # j = 7 .. -1, level = -4^j
 _TILE = 256        # row-tile size (sublane-aligned)
+_LOG2E = 1.4426950408889634
+
+
+def _fast_exp_neg(x):
+    """exp(x) for x <= 0: exponent-bit assembly + degree-5 poly for the
+    fractional power of two (max rel err ~5e-5 — the reference's own
+    __expf is similarly approximate). Inside the kernel the op chain is
+    explicitly fused, unlike the XLA-level variant which measured slower.
+    """
+    y = jnp.maximum(x * _LOG2E, -126.0)
+    i = jnp.floor(y)
+    f = y - i
+    p = ((((0.0018775767 * f + 0.0089893397) * f + 0.0558617245) * f
+          + 0.2402290070) * f + 0.6931471805) * f + 1.0
+    pow2i = jax.lax.bitcast_convert_type(
+        (i.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return p * pow2i
 
 
 def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             cost_ref, cd_ref,
-            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf):
+            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf,
+            dbuf):
     n = x1c_ref.shape[1]
     m = x2c_ref.shape[1]
     nt = n // _TILE
@@ -85,17 +103,25 @@ def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
         # bf16 for passes 2 and 3 (the XLA path recomputes the exp; the
         # exps are a large share of the VPU work)
         def p1(t, _):
-            d2 = d2_row_tile(t)
-            k = jnp.exp(level * d2)
             sl = pl.ds(t * _TILE, _TILE)
-            kbuf[sl, :] = k
-            suml = row_reduce(k, remainR[:, :])               # (T, 1)
-            ratioL[sl, :] = remainL[sl, :] / (suml + 1e-9)
 
             @pl.when(r == 0)
             def _():
+                # distances don't change across rounds: compute once,
+                # cache the euclidean form for the cost pass
+                d2 = d2_row_tile(t)
+                dbuf[sl, :] = jnp.sqrt(jnp.maximum(d2, 0.0))
                 rowmin[sl, :] = jnp.min(d2, axis=1, keepdims=True)
 
+            dist = dbuf[sl, :]
+            # NOTE: the VPU's native exp beats the polynomial fast-exp
+            # here too (3,580 vs 2,560 pairs/s measured) — the
+            # transcendental unit is genuinely fast; _fast_exp_neg is
+            # kept only as documentation of the negative result.
+            k = jnp.exp(level * (dist * dist))
+            kbuf[sl, :] = k
+            suml = row_reduce(k, remainR[:, :])               # (T, 1)
+            ratioL[sl, :] = remainL[sl, :] / (suml + 1e-9)
             return 0
 
         jax.lax.fori_loop(0, nt, p1, 0)
@@ -130,9 +156,7 @@ def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             rl = ratioL[sl, :]                                 # (T, 1)
             suml2 = rl * jnp.sum(kr, axis=1, keepdims=True)
             remainL[sl, :] = jnp.maximum(0.0, remainL[sl, :] - suml2)
-            d2 = d2_row_tile(t)
-            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-            contrib = rl * jnp.sum(kr * dist, axis=1, keepdims=True)
+            contrib = rl * jnp.sum(kr * dbuf[sl, :], axis=1, keepdims=True)
             return carry + jnp.sum(contrib)
 
         round_cost = jax.lax.fori_loop(0, nt, p3, jnp.float32(0.0))
@@ -205,6 +229,7 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
             pltpu.VMEM((m, 1), jnp.float32),   # colmin
             pltpu.SMEM((1, 1), jnp.float32),   # cost accumulator
             pltpu.VMEM((n, m), jnp.float32),   # per-round K cache
+            pltpu.VMEM((n, m), jnp.float32),   # euclidean distance cache
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
