@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROUNDS = 9        # j = 7 .. -1, level = -4^j
-_TILE = 256        # row-tile size (sublane-aligned)
+_TILE = 512        # preferred row-tile size (256 fallback)
 _LOG2E = 1.4426950408889634
 
 
@@ -52,10 +52,11 @@ def _fast_exp_neg(x):
     return p * pow2i
 
 
-def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
+def _kernel(tile, x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             cost_ref, cd_ref,
             remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf,
             dbuf):
+    _TILE = tile
     n = x1c_ref.shape[1]
     m = x2c_ref.shape[1]
     nt = n // _TILE
@@ -72,7 +73,7 @@ def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
         """(TILE, m) distances via direct per-channel differences
         (fp32-exact and much cheaper on the VPU than a K=3 MXU matmul
         at HIGHEST precision)."""
-        d = jnp.zeros((_TILE, m), jnp.float32)
+        d = jnp.zeros((tile, m), jnp.float32)
         for c in range(3):
             a = x1c_ref[0, pl.ds(t * _TILE, _TILE), c:c + 1]  # (T, 1)
             b = x2r_ref[0, c:c + 1, :]                        # (1, m)
@@ -82,7 +83,7 @@ def _kernel(x1c_ref, x2c_ref, x1r_ref, x2r_ref,
 
     def d2_col_tile(t):
         """(TILE, n) distances: rows = x2 tile, cols = all x1."""
-        d = jnp.zeros((_TILE, n), jnp.float32)
+        d = jnp.zeros((tile, n), jnp.float32)
         for c in range(3):
             a = x2c_ref[0, pl.ds(t * _TILE, _TILE), c:c + 1]
             b = x1r_ref[0, c:c + 1, :]
@@ -187,8 +188,9 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
     """
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    if n % _TILE or m % _TILE:
-        raise ValueError(f"point counts must be multiples of {_TILE}")
+    tile = _TILE if (n % _TILE == 0 and m % _TILE == 0) else 256
+    if n % tile or m % tile:
+        raise ValueError(f"point counts must be multiples of {tile}")
     if n != m:
         raise ValueError("fused kernel assumes n == m (reference test path)")
 
@@ -204,7 +206,7 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
                             memory_space=pltpu.VMEM)
 
     cost, cd = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tile),
         grid=(B,),
         in_specs=[
             spec((n, 3)), spec((m, 3)),
