@@ -94,3 +94,16 @@ def test_v1_network_uses_v1_weights(cfg_factory):
     assert tr.tcfg.similar_weight == 0.5
     cfg2 = cfg_factory()
     assert PDGNTrainer(cfg2).tcfg.cov_weight == 1.0
+
+
+def test_v1_network_trains_end_to_end(cfg_factory):
+    """PDGNet (v1): softmax flag honoured, v1 loss weights, 1 step runs."""
+    cfg = cfg_factory(network="PDGNet", softmax=False, max_epoch=1,
+                      max_steps_per_epoch=1, model_dir="v1",
+                      synthetic_size=3)
+    tr = PDGNTrainer(cfg)
+    assert tr.generator.softmax is False
+    tr.build_model()
+    tr.train()
+    log = os.path.join(cfg.checkpoint_dir, cfg.model_dir, cfg.log_info)
+    assert any("g_loss" in ln for ln in open(log))
