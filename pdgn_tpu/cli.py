@@ -63,6 +63,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--max_steps_per_epoch', type=int, default=None,
                         help='debug cap on batches per epoch')
     parser.add_argument('--synthetic_size', type=int, default=64)
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='write a jax.profiler trace of steps 2..4')
     return check_args(parser.parse_args(argv))
 
 
@@ -126,6 +128,7 @@ def main(argv=None) -> None:
         save_dir=args.save_dir,
         synthetic_size=args.synthetic_size,
         max_steps_per_epoch=args.max_steps_per_epoch,
+        profile_dir=args.profile_dir,
     )
     trainer = PDGNTrainer(cfg)
     trainer.build_model()

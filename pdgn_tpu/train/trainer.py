@@ -77,6 +77,8 @@ class ExperimentConfig:
     max_steps_per_epoch: Optional[int] = None  # debug/smoke-test cap
     base_points: int = 128               # generator stage-1 points (128 =
     #                                      reference; smaller for smoke tests)
+    profile_dir: Optional[str] = None    # write a jax.profiler trace of
+    #                                      train steps 2..4 here
 
     @property
     def category(self) -> str:
@@ -243,15 +245,26 @@ class PDGNTrainer:
         sharding = batch_sharding(self.mesh)
 
         start_time = time.time()
+        global_step = 0
+        tracing = False
         for epoch in range(start_epoch, cfg.max_epoch + 1):
             loader = train_loader(dataset, cfg.batch_size, sharding=sharding)
             for idx, batch in enumerate(loader):
                 if cfg.max_steps_per_epoch and idx >= cfg.max_steps_per_epoch:
                     break
+                if cfg.profile_dir and global_step == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    tracing = True
                 p1, p2, p3, p4 = batch[:4]
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self._train_step(
                     self.state, (p1, p2, p3, p4), step_rng)
+                if tracing and global_step == 4:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                global_step += 1
                 m = {k: float(v) for k, v in metrics.items()}
                 el = time.time() - start_time
                 self.log_string(
@@ -263,6 +276,8 @@ class PDGNTrainer:
                        m["g_loss"], m["similar_loss"]))
             if epoch % cfg.snapshot == 0:
                 self.save(epoch)
+        if tracing:
+            jax.profiler.stop_trace()
         self.save(cfg.max_epoch)
         self._log_fout.close()
 

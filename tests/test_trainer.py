@@ -107,3 +107,13 @@ def test_v1_network_trains_end_to_end(cfg_factory):
     tr.train()
     log = os.path.join(cfg.checkpoint_dir, cfg.model_dir, cfg.log_info)
     assert any("g_loss" in ln for ln in open(log))
+
+
+def test_profile_dir_writes_trace(cfg_factory, tmp_path):
+    cfg = cfg_factory(model_dir="prof", max_epoch=2, max_steps_per_epoch=3,
+                      synthetic_size=6, profile_dir=str(tmp_path / "trace"))
+    tr = PDGNTrainer(cfg)
+    tr.build_model()
+    tr.train()
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
