@@ -83,11 +83,15 @@ def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
     R = ref_tile.shape[0]
     a = jnp.broadcast_to(sample_tile[:, None], (S, R, N, 3)).reshape(S * R, N, 3)
     b = jnp.broadcast_to(ref_tile[None, :], (S, R, N, 3)).reshape(S * R, N, 3)
-    if impl == "pallas" and N % 256 == 0:
-        from pdgn_tpu.ops.pallas import fused_cd_emd
+    # the fused paths always compute EMD (it dominates their cost), so a
+    # CD-only request must not take them
+    if impl == "pallas" and with_emd:
+        if N % 256 == 0:
+            from pdgn_tpu.ops.pallas import fused_cd_emd
 
-        cd, cost = fused_cd_emd(a, b)
-        return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
+            cd, cost = fused_cd_emd(a, b)
+            return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
+        impl = "xla"  # kernel shape requirement unmet: next-fastest path
     if impl == "xla" and with_emd:
         from pdgn_tpu.losses.emd import cd_emd_xla
 

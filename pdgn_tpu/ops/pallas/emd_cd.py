@@ -12,13 +12,16 @@ HBM traffic per pair: ~50 KB (coordinates + two scalars) versus the
 reference's ~0.6 GB (match-matrix reads/writes per kernel launch) — this
 kernel is the reason the ~2 h evaluation phase fits in minutes.
 
-Layout notes:
-* coordinates are passed transposed, ``(B, 3, n)`` — 3 on the sublane axis
-  (padded to 8), points on the lane axis;
-* squared norms are passed in both column ``(n, 1)`` and row ``(1, n)``
-  layouts so no in-kernel transposes are needed;
-* all mass vectors (remainL/R, ratioL/R) are column vectors, so every
-  contraction is ``(T, m) @ (m, 1)`` on the MXU.
+Design (as measured; see PERF.md for the optimization log):
+* distance tiles come from direct per-channel broadcast differences
+  (coordinates are passed in both ``(B, n, 3)`` and ``(B, 3, n)``
+  layouts) — fp32-exact and far cheaper than a 3-deep MXU contraction;
+* euclidean distances are computed once (round 0) into an fp32 VMEM
+  cache; each round's kernel matrix K = exp(level * d2) is computed once
+  into a second fp32 VMEM cache and reused by all three passes;
+* remainL/ratioL are column vectors, remainR/ratioR are row vectors, so
+  every contraction is a VPU broadcast + lane/sublane reduction — a
+  1-column MXU matvec would idle 127/128 of the systolic array.
 """
 
 from __future__ import annotations
@@ -33,25 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROUNDS = 9        # j = 7 .. -1, level = -4^j
 _TILE = 512        # preferred row-tile size (256 fallback)
-_LOG2E = 1.4426950408889634
-
-
-def _fast_exp_neg(x):
-    """exp(x) for x <= 0: exponent-bit assembly + degree-5 poly for the
-    fractional power of two (max rel err ~5e-5 — the reference's own
-    __expf is similarly approximate). Inside the kernel the op chain is
-    explicitly fused, unlike the XLA-level variant which measured slower.
-    """
-    y = jnp.maximum(x * _LOG2E, -126.0)
-    i = jnp.floor(y)
-    f = y - i
-    p = ((((0.0018775767 * f + 0.0089893397) * f + 0.0558617245) * f
-          + 0.2402290070) * f + 0.6931471805) * f + 1.0
-    pow2i = jax.lax.bitcast_convert_type(
-        (i.astype(jnp.int32) + 127) << 23, jnp.float32)
-    return p * pow2i
-
-
 def _kernel(tile, x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             cost_ref, cd_ref,
             remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf,
@@ -117,8 +101,8 @@ def _kernel(tile, x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             dist = dbuf[sl, :]
             # NOTE: the VPU's native exp beats the polynomial fast-exp
             # here too (3,580 vs 2,560 pairs/s measured) — the
-            # transcendental unit is genuinely fast; _fast_exp_neg is
-            # kept only as documentation of the negative result.
+            # transcendental unit is genuinely fast; see the unused
+            # _fast_exp_neg in pdgn_tpu/losses/emd.py for the record.
             k = jnp.exp(level * (dist * dist))
             kbuf[sl, :] = k
             suml = row_reduce(k, remainR[:, :])               # (T, 1)
@@ -237,9 +221,11 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(B) * _ROUNDS * 3 * 2 * n * m * 4,
+            # ~23 VPU ops per element-round (distances cached; exp once
+            # per round; three reduce passes)
+            flops=int(B) * _ROUNDS * 23 * n * m,
             bytes_accessed=int(B) * (n + m) * 4 * 8,
-            transcendentals=int(B) * _ROUNDS * 3 * n * m,
+            transcendentals=int(B) * (_ROUNDS + 1) * n * m,
         ),
         interpret=interpret,
     )(x1f, x2f, x1t, x2t)

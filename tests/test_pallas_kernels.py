@@ -27,8 +27,8 @@ def test_fused_cd_emd_matches_jnp(clouds):
     cd, cost = fused_cd_emd(x1, x2, interpret=True)
     np.testing.assert_allclose(
         np.asarray(cd), np.asarray(chamfer_cd(x1, x2)), rtol=1e-5)
-    # the per-round K cache is bf16 (like the XLA eval path's bf16 D):
-    # cost matches the exact path to ~1e-3 relative
+    # the kernel's sqrt -> re-square round-trip through the distance
+    # cache perturbs d2 by ~1 ulp; cost matches the exact path closely
     np.testing.assert_allclose(
         np.asarray(cost), np.asarray(match_cost(x1, x2)), rtol=2e-3)
 
