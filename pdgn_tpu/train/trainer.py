@@ -286,7 +286,7 @@ class PDGNTrainer:
         return self._sampler(self.state.g.params, self.state.g.batch_stats,
                              rng, batch_size=batch_size)
 
-    def test(self, tile: int = 16) -> dict:
+    def test(self, tile: int = 32) -> dict:
         """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
         from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
 
