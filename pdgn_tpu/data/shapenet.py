@@ -55,19 +55,23 @@ RESOLUTIONS = (256, 512, 1024, 2048)
 
 def normalize_cloud(pc: np.ndarray, mode: Optional[str],
                     global_std: Optional[float] = None) -> np.ndarray:
-    """Apply one scale mode to a single cloud (reference :332-353)."""
+    """Apply one scale mode to a single cloud (reference :332-353).
+
+    Standard deviations use ``ddof=1`` (unbiased), matching torch's
+    ``.std()`` in the reference (datasets_4point.py:337).
+    """
     if mode == "global_unit":
         shift = pc.mean(axis=0, keepdims=True)
         scale = np.asarray(global_std).reshape(1, 1)
     elif mode == "shape_unit":
         shift = pc.mean(axis=0, keepdims=True)
-        scale = pc.flatten().std().reshape(1, 1)
+        scale = pc.flatten().std(ddof=1).reshape(1, 1)
     elif mode == "shape_half":
         shift = pc.mean(axis=0, keepdims=True)
-        scale = pc.flatten().std().reshape(1, 1) / 0.5
+        scale = pc.flatten().std(ddof=1).reshape(1, 1) / 0.5
     elif mode == "shape_34":
         shift = pc.mean(axis=0, keepdims=True)
-        scale = pc.flatten().std().reshape(1, 1) / 0.75
+        scale = pc.flatten().std(ddof=1).reshape(1, 1) / 0.75
     elif mode == "shape_bbox":
         pc_max = pc.max(axis=0, keepdims=True)
         pc_min = pc.min(axis=0, keepdims=True)
@@ -139,7 +143,8 @@ class ShapeNetCore:
                     clouds.append(np.asarray(f[synsetid][split][...]))
         all_points = np.concatenate(clouds, axis=0)
         mean = all_points.reshape(-1, 3).mean(axis=0)
-        std = all_points.reshape(-1).std()
+        # torch .std() is unbiased (reference datasets_4point.py:315)
+        std = all_points.reshape(-1).std(ddof=1)
         np.savez(stats_path, mean=mean, std=std)
         return {"mean": mean, "std": float(std)}
 

@@ -323,20 +323,25 @@ def entropy_of_occupancy_grid(pclouds: np.ndarray, grid_resolution: int,
     grid_coordinates = grid_coordinates.reshape(-1, 3)
     centers = jnp.asarray(grid_coordinates)
 
-    grid_counters = np.zeros(len(grid_coordinates))
-    grid_bernoulli_rvars = np.zeros(len(grid_coordinates))
+    n_cells = len(grid_coordinates)
     idx = np.asarray(_nearest_center(jnp.asarray(pclouds, jnp.float32), centers))
-    for pc_idx in idx:
-        np.add.at(grid_counters, pc_idx, 1)
-        np.add.at(grid_bernoulli_rvars, np.unique(pc_idx), 1)
+    grid_counters = np.bincount(idx.ravel(), minlength=n_cells).astype(
+        np.float64)
+    # per-cell occupancy across clouds (reference counts each cloud once
+    # per cell via np.unique; here one vectorised presence matrix)
+    occupied = np.zeros((len(pclouds), n_cells), dtype=bool)
+    occupied[np.arange(len(pclouds))[:, None], idx] = True
+    grid_bernoulli_rvars = occupied.sum(axis=0).astype(np.float64)
 
-    acc_entropy = 0.0
+    # vectorised Bernoulli entropy (scipy's entropy([p, 1-p]) per cell,
+    # with the 0 log 0 = 0 convention)
     n = float(len(pclouds))
-    for g in grid_bernoulli_rvars:
-        if g > 0:
-            p = float(g) / n
-            acc_entropy += entropy([p, 1.0 - p])
-    return acc_entropy / len(grid_counters), grid_counters
+    p = grid_bernoulli_rvars / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(p > 0, -p * np.log(p), 0.0) + np.where(
+            p < 1, -(1.0 - p) * np.log1p(-p), 0.0)
+    acc_entropy = float(np.sum(np.where(grid_bernoulli_rvars > 0, terms, 0.0)))
+    return acc_entropy / n_cells, grid_counters
 
 
 def _jsdiv(P: np.ndarray, Q: np.ndarray) -> float:

@@ -53,18 +53,19 @@ from pdgn_tpu.ops.grouping import grouping
 _MMF32 = dict(preferred_element_type=jnp.float32)
 
 
-def _interleave_halves(inte: jnp.ndarray, two_fin: int) -> jnp.ndarray:
-    """Reference channel-split/interleave of the windowed-conv output.
+def _block_channel_perm(four_fin: int):
+    """Reference->block channel permutation of the window-conv output.
 
-    Maps ``(B, N, k/2, 4Fin)`` to ``(B, N, k, 2Fin)`` with the exact index
-    semantics of reference models/PDGNet_v2.py:574-578: conv output channel
-    ``c*2 + j`` at window position ``w`` becomes channel ``c`` at neighbour
-    slot ``j*(k/2) + w``.
+    The reference interleave (models/PDGNet_v2.py:574-578) sends conv
+    output channel ``c*2 + j`` at window position ``w`` to neighbour slot
+    ``j*(k/2) + w``, channel ``c``. Materialising that permutation of the
+    activation costs two HBM round trips per stage, so this framework
+    instead emits the conv channels in *block* order ``p = j*2Fin + c``
+    (a free, param-side permutation of the conv weights) and builds every
+    consumer in the same order. ``perm[p]`` is the reference channel.
     """
-    B, N, half_k, four_fin = inte.shape
-    r = inte.reshape(B, N, half_k, two_fin, 2)       # split ch -> (c, j)
-    r = r.transpose(0, 1, 4, 2, 3)                   # (B, N, j, w, c)
-    return r.reshape(B, N, 2 * half_k, two_fin)      # k slot = j*half_k + w
+    two_fin = four_fin // 2
+    return tuple(2 * (p % two_fin) + (p // two_fin) for p in range(four_fin))
 
 
 def _point_pixel_shuffle(y: jnp.ndarray) -> jnp.ndarray:
@@ -123,6 +124,17 @@ def _cast(dtype, *arrays):
     return tuple(a.astype(dtype) for a in arrays)
 
 
+def _to(dtype, y):
+    """Cast a GEMM output (fp32 accumulators) back to the compute dtype.
+
+    XLA fuses the cast into the producing GEMM's epilogue, so with
+    ``dtype=bfloat16`` every large intermediate is *stored* in bf16 —
+    halving the HBM traffic of the gathers, batch norms and layout ops
+    that dominate the sampler's non-MXU time.
+    """
+    return y if dtype is None else y.astype(dtype)
+
+
 class _WindowConv(nn.Module):
     """``inte_conv_hk`` decomposed (reference models/PDGNet_v2.py:561-565).
 
@@ -130,7 +142,12 @@ class _WindowConv(nn.Module):
     features ``[x | nbr - x]``. Splitting the kernel into its central and
     neighbour halves gives ``conv(e) = x @ A + conv_n(nbr)`` with
     ``A = sum_t (Wc_t - Wn_t)`` — the conv contracts C channels instead
-    of 2C. Parameter tree identical to the nn.Conv version.
+    of 2C. The conv parameter keeps the nn.Conv tree layout; its *output
+    channels* are emitted in block order (see
+    :func:`_block_channel_perm`) via a param-side column permutation, so
+    the downstream interleave never materialises. The batch-norm params
+    therefore live in block order too — the torch checkpoint converter
+    maps them (pdgn_tpu.convert_ckpt).
     """
 
     four_fin: int
@@ -144,29 +161,43 @@ class _WindowConv(nn.Module):
         fan_in = 2 * C * self.window
         kernel, bias = _ConvParams(
             (1, self.window, 2 * C, self.four_fin), fan_in, name="conv")()
+        perm = jnp.asarray(_block_channel_perm(self.four_fin))
+        kernel = kernel[..., perm]
+        bias = bias[perm]
         wc = kernel[0, :, :C, :]                     # (W, C, 4Fin)
         wn = kernel[0, :, C:, :]
         a_mat = jnp.sum(wc - wn, axis=0)             # (C, 4Fin)
 
         xd, nbrd, wnd, ad = _cast(self.dtype, x, nbr, wn, a_mat)
-        point = jnp.matmul(xd, ad, **_MMF32) + bias  # (B, N, 4Fin)
-        nbr_conv = jax.lax.conv_general_dilated(
+        point = _to(self.dtype,
+                    jnp.matmul(xd, ad, **_MMF32) + bias)  # (B, N, 4Fin)
+        nbr_conv = _to(self.dtype, jax.lax.conv_general_dilated(
             nbrd, wnd[None],                         # (1, W, C, 4Fin)
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
-        )                                            # (B, N, k-W+1, 4Fin)
+        ))                                           # (B, N, k-W+1, 4Fin)
         y = nbr_conv + point[:, :, None, :]
-        y = BatchNorm(axis_name=self.axis_name)(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
         return leaky_relu(y)
 
 
-def _merge_gemm(x, nbr, inte, params, dtype):
+def _merge_gemm(x, nbr, inte, params, dtype, inte_layout="slot"):
     """The full-width ``[1, 2k]`` merge conv (reference conv2dbr), with the
     edge half decomposed into point + neighbour contractions.
 
     ``merge = concat([e, inte], axis=k)`` flattened over (2k, 2C); slot
     ``j < k`` carries ``[x | nbr_j - x]``, slot ``j >= k`` carries inte.
+
+    ``inte_layout``:
+      * ``"slot"`` — inte is interleaved ``(B, N, k, 2Fin)`` (the
+        reference's edge layout).
+      * ``"block"`` — inte is the raw block-order window-conv output
+        ``(B, N, k/2, 4Fin)`` (channel ``p = j*2Fin + c`` at window
+        position ``w`` carries the reference's slot ``j*k/2+w``, channel
+        ``c``); the interleave permutation is folded into the (tiny,
+        param-side) merge weight instead of materialising a permuted
+        copy of the activation.
     """
     kernel, bias = params                            # (2k*2C, 2F), (2F,)
     B, N, k, C = nbr.shape
@@ -177,13 +208,18 @@ def _merge_gemm(x, nbr, inte, params, dtype):
     we_n = kr[:k, C:, :]
     wi = kr[k:]                                      # (k, 2C, 2F)
     a_mat = jnp.sum(we_c - we_n, axis=0)             # (C, 2F)
+    if inte_layout == "block":
+        # wi_block[w, j*2Fin+c, o] = wi[j*hk+w, c, o]
+        hk = k // 2
+        wi = wi.reshape(2, hk, two_c, two_f).transpose(1, 0, 2, 3)
+        wi = wi.reshape(hk, 2 * two_c, two_f)        # (k/2, 4Fin, 2F)
 
     xd, nbrd, inted, wend, wid, ad = _cast(dtype, x, nbr, inte, we_n, wi,
                                            a_mat)
     y = jnp.matmul(xd, ad, **_MMF32)
     y = y + jnp.einsum("bnkc,kco->bno", nbrd, wend, **_MMF32)
     y = y + jnp.einsum("bnkc,kco->bno", inted, wid, **_MMF32)
-    return y + bias
+    return _to(dtype, y + bias)
 
 
 def _split_1x1(x, gathered_src, idx, params, dtype):
@@ -197,10 +233,35 @@ def _split_1x1(x, gathered_src, idx, params, dtype):
     wc = kernel[:C, :]
     wn = kernel[C:, :]
     xd, srcd, wcd, wnd = _cast(dtype, x, gathered_src, wc - wn, wn)
-    point = jnp.matmul(xd, wcd, **_MMF32)            # (B, N, F)
-    proj = jnp.matmul(srcd, wnd, **_MMF32)           # (B, N, F)
+    point = _to(dtype, jnp.matmul(xd, wcd, **_MMF32) + bias)  # (B, N, F)
+    proj = _to(dtype, jnp.matmul(srcd, wnd, **_MMF32))  # (B, N, F)
     nbr_term = grouping(proj, idx)                   # (B, N, k, F)
-    return point[:, :, None, :] + nbr_term + bias
+    return point[:, :, None, :] + nbr_term
+
+
+def _dual_split_1x1(x, pc, idx, fea_params, xyz_params, dtype):
+    """The two decomposed weight-net 1x1 convs with a single shared gather.
+
+    Both 16-channel edge convs (reference models/PDGNet_v2.py:608-612) use
+    the same neighbour indices, so their projected neighbour terms are
+    gathered together as one 32-channel tensor — one gather instead of two
+    and better lane packing for the tiny channel counts.
+    """
+    fk, fb = fea_params                              # (2C, 16), (16,)
+    xk, xb = xyz_params                              # (6, 16), (16,)
+    C = x.shape[-1]
+    Cp = pc.shape[-1]
+    xd, pcd = _cast(dtype, x, pc)
+    fwc, fwn = _cast(dtype, fk[:C] - fk[C:], fk[C:])
+    xwc, xwn = _cast(dtype, xk[:Cp] - xk[Cp:], xk[Cp:])
+    pf = _to(dtype, jnp.matmul(xd, fwc, **_MMF32) + fb)   # (B, N, 16)
+    px = _to(dtype, jnp.matmul(pcd, xwc, **_MMF32) + xb)  # (B, N, 16)
+    proj = jnp.concatenate(
+        [_to(dtype, jnp.matmul(xd, fwn, **_MMF32)),
+         _to(dtype, jnp.matmul(pcd, xwn, **_MMF32))], axis=-1)  # (B, N, 32)
+    nbr = grouping(proj, idx)                        # (B, N, k, 32)
+    f = nbr.shape[-1] // 2
+    return pf[:, :, None, :] + nbr[..., :f], px[:, :, None, :] + nbr[..., f:]
 
 
 class UpsampleEdgeConv(nn.Module):
@@ -220,12 +281,14 @@ class UpsampleEdgeConv(nn.Module):
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
                            axis_name=self.axis_name,
                            dtype=self.dtype)(x, nbr)          # (B,N,k/2,4Fin)
-        inte = _interleave_halves(inte, 2 * self.fin)         # (B,N,k,2Fin)
         merge_params = _DenseParams(
             (2 * self.k * 2 * self.fin, 2 * self.fout),
             fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
-        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype)
-        y = BatchNorm(axis_name=self.axis_name)(y)
+        # the interleave permutation folds into the merge weight — the
+        # (B, N, k, 2Fin) edge tensor never exists
+        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype,
+                        inte_layout="block")
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)                        # (B,2N,Fout)
 
@@ -251,36 +314,50 @@ class BilateralUpsampleEdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, pc):
         B, N, C = x.shape
+        hk = self.k // 2
         idx, nbr = neighbor_features(x, self.k)
+        # weight-net slots in (window, j) order so its output reshapes
+        # *contiguously* into the block channel layout of the window-conv
+        # output: slot s'' = w*2 + j carries reference slot j*hk + w. The
+        # permutation rides the (tiny, int32) index tensor — the gathered
+        # activations are produced directly in the fused layout.
+        idx_b = idx.reshape(B, N, 2, hk).transpose(0, 1, 3, 2)
+        idx_b = idx_b.reshape(B, N, self.k)
 
         fea_params = _DenseParams((2 * C, 16), fan_in=2 * C,
                                   name="conv_fea")()
-        w_fea = _split_1x1(x, x, idx, fea_params, self.dtype)
-        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name,
-                                     name="bn_fea")(w_fea))
         xyz_params = _DenseParams((6, 16), fan_in=6, name="conv_xyz")()
-        w_xyz = _split_1x1(pc, pc, idx, xyz_params, self.dtype)
+        w_fea, w_xyz = _dual_split_1x1(x, pc, idx_b, fea_params, xyz_params,
+                                       self.dtype)
+        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name,
+                                     dtype=self.dtype, name="bn_fea")(w_fea))
         w_xyz = leaky_relu(BatchNorm(axis_name=self.axis_name,
-                                     name="bn_xyz")(w_xyz))
+                                     dtype=self.dtype, name="bn_xyz")(w_xyz))
         w = w_fea * w_xyz
-        w = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_all1")(
-            TorchDense(64, name="conv_all1")(w)))
-        w = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_all2")(
-            TorchDense(2 * self.fin, name="conv_all2")(w)))
+        w = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                 name="bn_all1")(
+            TorchDense(64, dtype=self.dtype, name="conv_all1")(w)))
+        w = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                 name="bn_all2")(
+            TorchDense(2 * self.fin, dtype=self.dtype, name="conv_all2")(w)))
         if self.softmax:
             # reference softmaxes over the neighbour axis (torch dim=-1 on
-            # (B, C, N, K)); here the neighbour axis is 2
+            # (B, C, N, K)); here the neighbour axis is 2 — invariant to
+            # the slot permutation above
             w = nn.softmax(w, axis=2)
+        # (B, N, k, 2Fin) in s''=(w, j) slot order -> block conv layout
+        # (B, N, hk, 4Fin): a *contiguous* reshape, no copy
+        w = w.reshape(B, N, hk, 4 * self.fin)
 
         inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
                            axis_name=self.axis_name,
-                           dtype=self.dtype)(x, nbr)
-        inte = _interleave_halves(inte, 2 * self.fin)
+                           dtype=self.dtype)(x, nbr)     # (B,N,hk,4Fin) block
         inte = inte * w
         merge_params = _DenseParams(
             (2 * self.k * 2 * self.fin, 2 * self.fout),
             fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
-        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype)
+        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype,
+                        inte_layout="block")
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)
@@ -297,18 +374,23 @@ class _GlobalBranch(nn.Module):
     fout: int
     with_g: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         xs = jnp.max(x, axis=1)                               # (B, Fin)
-        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fc1")(
-            TorchDense(self.fin, name="fc1")(xs)))
-        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_fc2")(
-            TorchDense(self.fout, name="fc2")(xs)))
+        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                  name="bn_fc1")(
+            TorchDense(self.fin, dtype=dt, name="fc1")(xs)))
+        xs = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                  name="bn_fc2")(
+            TorchDense(self.fout, dtype=dt, name="fc2")(xs)))
         if not self.with_g:
             return xs, None
-        g = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_g")(
-            TorchDense(512, name="g_fc")(xs)))
+        g = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                 name="bn_g")(
+            TorchDense(512, dtype=dt, name="g_fc")(xs)))
         return xs, g
 
 
@@ -334,7 +416,7 @@ class BilateralBlock(nn.Module):
     def __call__(self, x, pc=None):
         B, N, _ = x.shape
         xs, g = _GlobalBranch(self.fin, self.fout, with_g=self.with_g,
-                              axis_name=self.axis_name)(x)
+                              axis_name=self.axis_name, dtype=self.dtype)(x)
         if self.bilateral:
             x_ec = BilateralUpsampleEdgeConv(
                 self.fin, self.fout, self.k, softmax=self.softmax,
@@ -347,7 +429,8 @@ class BilateralBlock(nn.Module):
                 name="upsample_cov")(x)
         # post-upsample BN + LeakyReLU (reference wraps the edge conv in
         # Sequential(BatchNorm1d, LeakyReLU) / bn_uc+relu_uc)
-        x_ec = leaky_relu(BatchNorm(axis_name=self.axis_name, name="bn_uc")(x_ec))
+        x_ec = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                    name="bn_uc")(x_ec))
 
         xs_t = jnp.broadcast_to(xs[:, None, :], (B, 2 * N, self.fout))
         x_out = jnp.concatenate([xs_t, x_ec], axis=-1)
@@ -370,8 +453,9 @@ class PointGenerator(nn.Module):
     num_k: int = 20
     softmax: bool = True
     axis_name: Optional[str] = None
-    # computation dtype for the conv/GEMM stacks (params and batch norm
-    # stay fp32)
+    # compute/storage dtype for every large activation (GEMM outputs,
+    # gathers, batch norms, layout ops). Params, BN statistics and the
+    # coordinate heads' outputs stay fp32; MXU accumulation is fp32.
     dtype: Optional[str] = None
     # first-stage point count; 128 reproduces the reference (fc1 -> 4096 =
     # 32ch x 128pts). Smaller values shrink every stage proportionally —
@@ -389,6 +473,9 @@ class PointGenerator(nn.Module):
         x = leaky_relu(x)
         # torch view(B, 32, 128) is (channel, point); transpose to (B, N, C)
         x = x.reshape(B, 32, self.base_points).transpose(0, 2, 1)
+        # compute dtype applies from the first block on: all large
+        # activations (gathers, batch norms, layout ops) are stored in it
+        x = _to(self.dtype, x)
 
         dt = self.dtype
         b1 = BilateralBlock(32, 32, k, bilateral=False, axis_name=an,

@@ -9,7 +9,10 @@ from pdgn_tpu.ops.grouping import (
     grouping,
     grouping_int,
     le_query_and_group,
+    le_query_and_group_only_feature,
+    le_query_and_group_same_size,
     query_and_group,
+    query_and_group_dilate,
 )
 from pdgn_tpu.ops.interpolation import (
     interpolate,
@@ -45,8 +48,11 @@ __all__ = [
     "labelstat_ballrange",
     "labelstat_idx",
     "le_query_and_group",
+    "le_query_and_group_only_feature",
+    "le_query_and_group_same_size",
     "pairwise_sqdist",
     "query_and_group",
+    "query_and_group_dilate",
     "self_pairwise_sqdist",
     "three_interpolate_weights",
     "three_nn",

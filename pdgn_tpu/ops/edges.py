@@ -73,21 +73,6 @@ def neighbor_features(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     Returns:
       ``idx (B, N, k)`` int32 and ``nbr (B, N, k, C)``.
     """
-    import os
-
-    from pdgn_tpu.ops.knn import _pallas_knn_ok
-
-    # PDGN_FUSED_GATHER opts into the fully-fused kNN+gather kernel
-    # (ops/pallas/knn.py::knn_gather). Measured only ~2% faster than
-    # kNN-kernel + XLA gather and its bf16 hi/lo side inputs raise HBM
-    # pressure at large batches, so it is not the default yet — it is the
-    # building block for the round-2 edge-conv megakernel.
-    if (os.environ.get("PDGN_FUSED_GATHER")
-            and not os.environ.get("PDGN_EXACT_KNN")
-            and _pallas_knn_ok(x, k + 1)):
-        from pdgn_tpu.ops.pallas.knn import knn_gather
-
-        return knn_gather(x, k)
     idx = _neighbor_idx(x, k)
     return idx, grouping(x, idx)
 

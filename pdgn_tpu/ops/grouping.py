@@ -164,6 +164,104 @@ def le_query_and_group(
     return grouped_xyz, grouping(features, idx)
 
 
+def le_query_and_group_same_size(
+    xyz: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray] = None,
+    features: Optional[jnp.ndarray] = None,
+    idx: Optional[jnp.ndarray] = None,
+    *,
+    nsample: int = 32,
+    radius: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`le_query_and_group` restricted to equal-sized point/center sets.
+
+    Equivalent of reference ``pointops.Le_QueryAndGroup_SameSize``
+    (lib/pointops/functions/pointops.py:476-523), which is the same
+    computation with an ``xyz.size() == new_xyz.size()`` assertion.
+    """
+    if new_xyz is not None and xyz.shape != new_xyz.shape:
+        raise ValueError(
+            f"xyz and new_xyz must match: {xyz.shape} vs {new_xyz.shape}")
+    return le_query_and_group(xyz, new_xyz, features, idx,
+                              nsample=nsample, radius=radius)
+
+
+def le_query_and_group_only_feature(
+    xyz: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray] = None,
+    features: Optional[jnp.ndarray] = None,
+    idx: Optional[jnp.ndarray] = None,
+    *,
+    nsample: int = 32,
+    radius: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped neighbour features only (no coordinate branch).
+
+    Equivalent of reference ``pointops.Le_QueryAndGroup_OnlyFeature``
+    (lib/pointops/functions/pointops.py:705-751): queries neighbours and
+    gathers features; the xyz grouping is skipped entirely.
+    """
+    if new_xyz is None:
+        new_xyz = xyz
+    if idx is None:
+        if radius is not None:
+            idx = ballquery(radius, nsample, xyz, new_xyz)
+        else:
+            idx = knn(xyz, new_xyz, nsample)
+    if features is None:
+        raise ValueError("Le_QueryAndGroup_OnlyFeature requires features")
+    return grouping(features, idx)
+
+
+def query_and_group_dilate(
+    xyz: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray] = None,
+    features: Optional[jnp.ndarray] = None,
+    idx: Optional[jnp.ndarray] = None,
+    *,
+    key: Optional[jnp.ndarray] = None,
+    nsample: int = 32,
+    radius: Optional[float] = None,
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """Dilated neighbourhood grouping: query ``2*nsample`` neighbours and
+    keep a random ``nsample``-subset of the neighbour slots.
+
+    Equivalent of reference ``pointops.QueryAndGroup_Dilate``
+    (lib/pointops/functions/pointops.py:571-620). The reference draws the
+    slot subset with host ``np.random.shuffle`` (one draw shared by the
+    whole batch); here the draw is an explicit ``jax.random`` permutation
+    so it is reproducible and traceable.
+
+    Args:
+      key: PRNG key for the slot subset (required unless ``idx`` given
+        with exactly ``nsample`` columns already).
+    """
+    import jax
+
+    if new_xyz is None:
+        new_xyz = xyz
+    if idx is None:
+        if radius is not None:
+            idx = ballquery(radius, 2 * nsample, xyz, new_xyz)
+        else:
+            idx = knn(xyz, new_xyz, 2 * nsample)
+    if idx.shape[-1] != nsample:
+        if key is None:
+            raise ValueError("query_and_group_dilate needs a PRNG key")
+        slots = jax.random.permutation(key, idx.shape[-1])[:nsample]
+        idx = idx[:, :, slots]
+    grouped_xyz = grouping(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_features = grouping(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+        return grouped_features
+    if not use_xyz:
+        raise ValueError("Cannot have no features and not use xyz as a feature")
+    return grouped_xyz
+
+
 def group_all(
     xyz: jnp.ndarray,
     features: Optional[jnp.ndarray] = None,

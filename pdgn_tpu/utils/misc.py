@@ -138,7 +138,6 @@ class CheckpointManager:
         from pdgn_tpu.train.checkpoint import save_state
 
         if step is None:
-            fname = "ckpt_%.6f_" % float(score)
             step = int(time.time())
         fname = "ckpt_%.6f_%d" % (float(score), step)
 

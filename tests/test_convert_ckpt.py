@@ -1,0 +1,213 @@
+"""Torch-checkpoint converter tests.
+
+The decisive test runs the *reference* torch generator/discriminators on
+CPU (their forwards are pure torch) on the same inputs as our flax models
+loaded with the converted weights — end-to-end numerical parity of both
+the converter and the TPU re-implementation. It needs the reference tree
+(heavy CUDA extensions are stubbed out) and is skipped when absent.
+"""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REF)
+    for name in ("pointops_cuda", "structural_loss_cuda", "emd_cuda",
+                 "evaluation.StructuralLosses",
+                 "evaluation.StructuralLosses.match_cost",
+                 "evaluation.StructuralLosses.nn_distance"):
+        m = types.ModuleType(name)
+        m.match_cost = lambda *a: None
+        m.nn_distance = lambda *a: None
+        sys.modules.setdefault(name, m)
+    from models import PDGNet_v2 as ref
+
+    sys.path.remove(REF)
+    return torch, ref
+
+
+@needs_reference
+def test_generator_parity_with_torch(ref_models, tmp_path):
+    """Per-stage parity on converted weights, each stage fed the *exact*
+    torch intermediates.
+
+    End-to-end trajectories diverge chaotically at fp32: the kNN graph is
+    a discrete function of the features, so ~1e-3 accumulated framework
+    noise (different GEMM accumulation orders) eventually flips near-tie
+    neighbour orders and the BN chains amplify the difference. With
+    identical inputs every stage matches to ~1e-5, which is the meaningful
+    converter/implementation parity statement.
+    """
+    torch, ref = ref_models
+    from pdgn_tpu.convert_ckpt import convert_generator
+    from pdgn_tpu.models.generator import MLP, BilateralBlock
+    from pdgn_tpu.models.layers import leaky_relu
+
+    torch.manual_seed(0)
+    tg = ref.PointGenerator(num_point=2048, num_k=20, softmax=True)
+    tg.train()  # the reference never calls .eval()
+    model, _ = convert_generator(tg.state_dict())
+    p, st = model["params"], model["batch_stats"]
+
+    B = 4
+    rng = np.random.RandomState(1)
+    z = rng.randn(B, 128).astype(np.float32)
+    with torch.no_grad():
+        tz = torch.from_numpy(z)
+        tx = tg.fc1(tz).view(B, 32, 128)
+        tx1, tg1 = tg.bilateral1(tx)
+        tx1s = tg.mlp1(tg1)
+        tx2, tg2 = tg.bilateral2(tx1, tx1s)
+        tx2s = tg.mlp2(tg2)
+        tx3, tg3 = tg.bilateral3(tx2, tx2s)
+        tx3s = tg.mlp3(tg3)
+        tx4 = tg.bilateral4(tx3, tx3s)
+        tx4s = tg.mlp4(tx4)
+
+    def t2j(t):
+        return t.numpy().transpose(0, 2, 1)
+
+    def rel(a, b):
+        return float(np.abs(np.asarray(a) - b).max()
+                     / max(np.abs(b).max(), 1e-6))
+
+    # fc1 stack
+    h = jnp.asarray(z) @ p["fc1"]["dense"]["kernel"] + p["fc1"]["dense"]["bias"]
+    mean = h.mean(0)
+    var = ((h - mean) ** 2).mean(0)
+    h = ((h - mean) / jnp.sqrt(var + 1e-5) * p["fc1_bn"]["bn"]["scale"]
+         + p["fc1_bn"]["bn"]["bias"])
+    x = leaky_relu(h).reshape(B, 32, 128).transpose(0, 2, 1)
+    assert rel(x, t2j(tx)) < 1e-4
+
+    def runb(name, fin, bilateral, with_g, *args):
+        mod = BilateralBlock(fin, fin, 10, bilateral=bilateral,
+                             with_g=with_g, name=name)
+        out, _ = mod.apply({"params": p[name], "batch_stats": st[name]},
+                           *args, mutable=["batch_stats"])
+        return out
+
+    def runm(name, xin):
+        return MLP([256, 64, 3], name=name).apply({"params": p[name]}, xin)
+
+    x1, g1 = runb("bilateral1", 32, False, True, jnp.asarray(t2j(tx)))
+    assert rel(x1, t2j(tx1)) < 5e-3 and rel(g1, t2j(tg1)) < 5e-3
+    assert rel(runm("mlp1", jnp.asarray(t2j(tg1))), t2j(tx1s)) < 1e-3
+    x2, g2 = runb("bilateral2", 64, True, True,
+                  jnp.asarray(t2j(tx1)), jnp.asarray(t2j(tx1s)))
+    assert rel(x2, t2j(tx2)) < 5e-3 and rel(g2, t2j(tg2)) < 5e-3
+    x3, g3 = runb("bilateral3", 128, True, True,
+                  jnp.asarray(t2j(tx2)), jnp.asarray(t2j(tx2s)))
+    assert rel(x3, t2j(tx3)) < 5e-3 and rel(g3, t2j(tg3)) < 5e-3
+    x4, _ = runb("bilateral4", 256, True, False,
+                 jnp.asarray(t2j(tx3)), jnp.asarray(t2j(tx3s)))
+    assert rel(x4, t2j(tx4)) < 5e-3
+    assert rel(runm("mlp4", jnp.asarray(t2j(tx4))), t2j(tx4s)) < 1e-3
+
+
+@needs_reference
+def test_discriminator_parity_with_torch(ref_models):
+    torch, ref = ref_models
+    from pdgn_tpu.convert_ckpt import convert_discriminator
+    from pdgn_tpu.models import (
+        PointDiscriminator1, PointDiscriminator2,
+        PointDiscriminator3, PointDiscriminator4,
+    )
+
+    torch.manual_seed(0)
+    pairs = [
+        (ref.PointDiscriminator_1(), PointDiscriminator1(), 256),
+        (ref.PointDiscriminator_2(), PointDiscriminator2(), 512),
+        (ref.PointDiscriminator_3(), PointDiscriminator3(), 1024),
+        (ref.PointDiscriminator_4(), PointDiscriminator4(), 2048),
+    ]
+    rng = np.random.RandomState(2)
+    for td, jd, n in pairs:
+        td.train()
+        model, _ = convert_discriminator(td.state_dict())
+        pts = rng.randn(4, n, 3).astype(np.float32)
+        with torch.no_grad():
+            twant = td(torch.from_numpy(pts.transpose(0, 2, 1))).numpy()
+        jgot, _ = jd.apply(
+            {"params": model["params"], "batch_stats": model["batch_stats"]},
+            jnp.asarray(pts), mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(jgot), twant,
+                                   atol=2e-4, rtol=1e-3)
+
+
+@needs_reference
+def test_convert_files_roundtrip(ref_models, tmp_path):
+    """Full .pth pair -> msgpack pair -> checkpoint.load -> sampling."""
+    torch, ref = ref_models
+    from pdgn_tpu.convert_ckpt import convert_files
+    from pdgn_tpu.models import (
+        PointDiscriminator1, PointDiscriminator2,
+        PointDiscriminator3, PointDiscriminator4, PointGenerator,
+    )
+    from pdgn_tpu.train import TrainConfig, init_state
+    from pdgn_tpu.train.checkpoint import load
+
+    torch.manual_seed(3)
+    tg = ref.PointGenerator(num_point=2048, num_k=20, softmax=True)
+    tds = [ref.PointDiscriminator_1(), ref.PointDiscriminator_2(),
+           ref.PointDiscriminator_3(), ref.PointDiscriminator_4()]
+    og = torch.optim.Adam(tg.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    ods = [torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.5, 0.999))
+           for d in tds]
+    # one torch step so Adam moments exist
+    z = torch.randn(2, 128)
+    loss = sum(o.sum() for o in tg(z))
+    for d, n in zip(tds, (256, 512, 1024, 2048)):
+        loss = loss + d(torch.randn(2, 3, n)).sum()
+    loss.backward()
+    og.step()
+    for o in ods:
+        o.step()
+
+    # reference-format .pth pair (models/PDGNet_v2.py:384-408), with the
+    # DataParallel 'module.' prefix the published checkpoints carry
+    def dp(sd):
+        return {"module." + k: v for k, v in sd.items()}
+
+    pth_g = tmp_path / "7_chair_G.pth"
+    pth_d = tmp_path / "7_chair_D.pth"
+    torch.save({"G_model": dp(tg.state_dict()),
+                "G_optimizer": og.state_dict(), "G_epoch": 7}, pth_g)
+    dd = {"D_epoch": 7}
+    for i, (d, o) in enumerate(zip(tds, ods), 1):
+        dd[f"D_model{i}"] = dp(d.state_dict())
+        dd[f"D_optimizer{i}"] = o.state_dict()
+    torch.save(dd, pth_d)
+
+    pg, pd = convert_files(str(pth_g), str(pth_d), str(tmp_path / "out"))
+    assert pg.endswith("7_chair_G.msgpack")
+
+    gen = PointGenerator()
+    discs = (PointDiscriminator1(), PointDiscriminator2(),
+             PointDiscriminator3(), PointDiscriminator4())
+    cfg = TrainConfig()
+    template = init_state(gen, discs, cfg, jax.random.PRNGKey(0), 2)
+    state, epoch = load(pg, pd, template)
+    assert epoch == 7
+
+    # Adam moments landed (non-zero) and a sample runs without error
+    mu_leaves = jax.tree.leaves(state.g.opt_state[0].mu)
+    assert any(float(jnp.abs(m).max()) > 0 for m in mu_leaves)
+    outs, _ = gen.apply(
+        {"params": state.g.params, "batch_stats": state.g.batch_stats},
+        jnp.zeros((2, 128)), mutable=["batch_stats"])
+    assert outs[3].shape == (2, 2048, 3)
+    assert bool(jnp.all(jnp.isfinite(outs[3])))

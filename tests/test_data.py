@@ -66,10 +66,10 @@ def test_shapenet_stats_cached(tiny_hdf5):
 def test_normalize_cloud_modes(rng):
     pc = rng.randn(100, 3).astype(np.float32) * 3 + 1
     half = normalize_cloud(pc, "shape_half")
-    want = (pc - pc.mean(0)) / (pc.flatten().std() / 0.5)
+    want = (pc - pc.mean(0)) / (pc.flatten().std(ddof=1) / 0.5)  # torch .std()
     np.testing.assert_allclose(half, want, atol=1e-6)
     s34 = normalize_cloud(pc, "shape_34")
-    want34 = (pc - pc.mean(0)) / (pc.flatten().std() / 0.75)
+    want34 = (pc - pc.mean(0)) / (pc.flatten().std(ddof=1) / 0.75)
     np.testing.assert_allclose(s34, want34, atol=1e-6)
     ident = normalize_cloud(pc, None)
     np.testing.assert_allclose(ident, pc)

@@ -296,3 +296,52 @@ def test_group_all(rng):
     feats = rng.randn(2, 8, 4).astype(np.float32)
     out = np.asarray(ops.group_all(jnp.asarray(xyz), jnp.asarray(feats)))
     assert out.shape == (2, 1, 8, 7)
+
+
+# ---------------------------------------------- grouping variants (P5 tail)
+def test_le_query_and_group_same_size(rng):
+    xyz = rng.randn(2, 18, 3).astype(np.float32)
+    feats = rng.randn(2, 18, 4).astype(np.float32)
+    gx, gf = ops.le_query_and_group_same_size(
+        jnp.asarray(xyz), features=jnp.asarray(feats), nsample=5)
+    gx2, gf2 = ops.le_query_and_group(
+        jnp.asarray(xyz), features=jnp.asarray(feats), nsample=5)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(gx2))
+    np.testing.assert_array_equal(np.asarray(gf), np.asarray(gf2))
+    with pytest.raises(ValueError):
+        ops.le_query_and_group_same_size(
+            jnp.asarray(xyz), jnp.asarray(xyz[:, :9]),
+            features=jnp.asarray(feats), nsample=5)
+
+
+def test_le_query_and_group_only_feature(rng):
+    xyz = rng.randn(2, 18, 3).astype(np.float32)
+    feats = rng.randn(2, 18, 4).astype(np.float32)
+    got = ops.le_query_and_group_only_feature(
+        jnp.asarray(xyz), features=jnp.asarray(feats), nsample=5)
+    # equals the feature half of le_query_and_group (same kNN graph)
+    _, gf = ops.le_query_and_group(
+        jnp.asarray(xyz), features=jnp.asarray(feats), nsample=5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(gf))
+
+
+def test_query_and_group_dilate(rng):
+    xyz = rng.randn(2, 18, 3).astype(np.float32)
+    feats = rng.randn(2, 18, 4).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    out = ops.query_and_group_dilate(
+        jnp.asarray(xyz), features=jnp.asarray(feats), key=key, nsample=4)
+    assert out.shape == (2, 18, 4, 7)
+    # replicate: 2*nsample kNN, the key's slot subset, centred gather
+    idx8 = ops.knn(jnp.asarray(xyz), None, 8)
+    slots = jax.random.permutation(key, 8)[:4]
+    idx = idx8[:, :, slots]
+    want_xyz = np.asarray(ops.grouping(jnp.asarray(xyz), idx)) \
+        - xyz[:, :, None, :]
+    want_f = np.asarray(ops.grouping(jnp.asarray(feats), idx))
+    np.testing.assert_allclose(np.asarray(out[..., :3]), want_xyz, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out[..., 3:]), want_f)
+    # no key and wide idx -> error
+    with pytest.raises(ValueError):
+        ops.query_and_group_dilate(
+            jnp.asarray(xyz), features=jnp.asarray(feats), nsample=4)
