@@ -23,11 +23,13 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/pdgn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_sampling(batch: int = 64, iters: int = 30) -> float:
+def bench_sampling(batch: int = 128, iters: int = 30) -> float:
+    """bf16 compute path (fp32 params, BN statistics and coordinate
+    heads) — the production sampling configuration."""
     from pdgn_tpu.models import PointGenerator
     from pdgn_tpu.train import TrainConfig, make_sampler
 
-    model = PointGenerator()
+    model = PointGenerator(dtype="bfloat16")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((batch, 128)))
     sampler = jax.jit(
@@ -37,11 +39,16 @@ def bench_sampling(batch: int = 64, iters: int = 30) -> float:
         return sampler(variables["params"], variables["batch_stats"], key,
                        batch_size=batch)
 
-    out = run(jax.random.PRNGKey(1))
-    float(jnp.sum(out[3]))  # force completion (the axon relay's
-    # block_until_ready returns at dispatch, not completion)
+    # warm up the full timed-loop op set, INCLUDING the accumulator adds
+    # (their one-off jit compiles otherwise land inside the timed region)
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(2):
+        out = run(jax.random.PRNGKey(i))
+        acc = acc + jnp.sum(out[3])
+    float(acc)  # force completion (the axon relay's block_until_ready
+    # returns at dispatch, not completion)
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    acc = 0.0
     for i in range(iters):
         out = run(jax.random.PRNGKey(i))
         acc = acc + jnp.sum(out[3])  # device-side chain
@@ -68,7 +75,8 @@ def bench_train_step(batch: int = 35, iters: int = 10) -> float:
         jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
         for n in (256, 512, 1024, 2048)
     )
-    state, m = step(state, reals, jax.random.PRNGKey(1))
+    for i in range(2):  # warm up compile + tunnel
+        state, m = step(state, reals, jax.random.PRNGKey(i))
     float(m["g_loss"])  # force completion through the axon relay
     t0 = time.perf_counter()
     for i in range(iters):
@@ -90,10 +98,12 @@ def bench_eval_pairs(tile: int = 32, reps: int = 4) -> float:
     s = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
     r = jnp.asarray(rng.randn(tile, 2048, 3).astype(np.float32) * 0.3)
     impl = _select_impl(2048, 2048, True)
+    acc = jnp.zeros((), jnp.float32)
     out = _pair_tile(s, r, True, impl)
-    float(jnp.sum(out[0]) + jnp.sum(out[1]))
+    acc = acc + jnp.sum(out[0]) + jnp.sum(out[1])
+    float(acc)
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    acc = 0.0
     for _ in range(reps):
         out = _pair_tile(s, r, True, impl)
         acc = acc + jnp.sum(out[0]) + jnp.sum(out[1])

@@ -41,16 +41,58 @@ import jax.numpy as jnp
 
 from pdgn_tpu.models.layers import (
     BatchNorm,
+    BatchNormFold,
     MLP,
     TorchDense,
     leaky_relu,
     torch_bias_uniform,
     torch_kaiming_uniform,
 )
-from pdgn_tpu.ops.edges import neighbor_features
 from pdgn_tpu.ops.grouping import grouping
+from pdgn_tpu.ops.pallas.bilateral_tail import edge_conv_tail
+from pdgn_tpu.ops.pallas.edge_head import edge_conv_head
 
 _MMF32 = dict(preferred_element_type=jnp.float32)
+
+
+def _sync_stats(mean, var, axis_name):
+    """Cross-replica (sync-BN) combination of per-shard batch statistics.
+
+    Recovers the second moment, ``pmean``s both moments and recombines —
+    exactly what ``nn.BatchNorm`` does with ``axis_name`` set.
+    """
+    if axis_name is None:
+        return mean, var
+    mean2 = var + jnp.square(mean)
+    mean = jax.lax.pmean(mean, axis_name)
+    mean2 = jax.lax.pmean(mean2, axis_name)
+    return mean, mean2 - jnp.square(mean)
+
+
+def _linear_bn_stats(h, kernel, bias, axis_name):
+    """Batch statistics of ``y = h @ kernel + bias`` without materialising y.
+
+    For a linear layer, ``E[y_c] = m·W_c + b_c`` and
+    ``E[y_c^2] = W_c^T S W_c + 2 b_c (m·W_c) + b_c^2`` with
+    ``S = E[h h^T]`` — a (H, H) second-moment contraction over the (tiny)
+    hidden width instead of a full-tensor stats pass over the (huge)
+    output. This is what lets the fused tail kernel keep the
+    (B, N, k, 2Fin) gate tensor out of HBM entirely.
+    """
+    hf = h.astype(jnp.float32).reshape(-1, h.shape[-1])
+    m_rows = hf.shape[0]
+    m_h = jnp.mean(hf, axis=0)                               # (H,)
+    s_mat = jnp.matmul(hf.T, hf, precision=jax.lax.Precision.HIGHEST,
+                       **_MMF32) / m_rows                    # (H, H)
+    if axis_name is not None:
+        m_h = jax.lax.pmean(m_h, axis_name)
+        s_mat = jax.lax.pmean(s_mat, axis_name)
+    kf = kernel.astype(jnp.float32)
+    bf = bias.astype(jnp.float32)
+    mk = m_h @ kf                                            # (F,)
+    mean = mk + bf
+    ex2 = jnp.sum(kf * (s_mat @ kf), axis=0) + 2.0 * bf * mk + bf * bf
+    return mean, ex2 - jnp.square(mean)
 
 
 def _block_channel_perm(four_fin: int):
@@ -182,6 +224,30 @@ class _WindowConv(nn.Module):
         return leaky_relu(y)
 
 
+class _WindowConvVars(nn.Module):
+    """Parameter container matching :class:`_WindowConv`'s variable tree
+    (``{conv, BatchNorm_0/bn}``) for the fused edge-conv path.
+
+    Called twice per stage: once up-front for the conv parameters (no
+    running-stat update) and once with the head kernel's batch statistics
+    (running-stat update + the BN affine parameters).
+    """
+
+    shape: Tuple[int, ...]           # (1, W, 2C, 4Fin)
+    fan_in: int
+
+    @nn.compact
+    def __call__(self, mean=None, var=None):
+        kernel, bias = _ConvParams(self.shape, self.fan_in, name="conv")()
+        four_fin = self.shape[-1]
+        update = mean is not None
+        if mean is None:
+            mean = jnp.zeros((four_fin,), jnp.float32)
+            var = jnp.ones((four_fin,), jnp.float32)
+        stats = BatchNormFold(name="BatchNorm_0")(mean, var, update)
+        return kernel, bias, stats
+
+
 def _merge_gemm(x, nbr, inte, params, dtype, inte_layout="slot"):
     """The full-width ``[1, 2k]`` merge conv (reference conv2dbr), with the
     edge half decomposed into point + neighbour contractions.
@@ -277,17 +343,28 @@ class UpsampleEdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
-        idx, nbr = neighbor_features(x, self.k)               # (B,N,k,C)
-        inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
-                           axis_name=self.axis_name,
-                           dtype=self.dtype)(x, nbr)          # (B,N,k/2,4Fin)
-        merge_params = _DenseParams(
+        four_fin = 4 * self.fin
+        window = self.k // 2 + 1
+        merge_kernel, merge_bias = _DenseParams(
             (2 * self.k * 2 * self.fin, 2 * self.fout),
             fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
-        # the interleave permutation folds into the merge weight — the
-        # (B, N, k, 2Fin) edge tensor never exists
-        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype,
-                        inte_layout="block")
+        wcv = _WindowConvVars((1, window, 2 * C, four_fin),
+                              2 * C * window, name="_WindowConv_0")
+        conv_kernel, conv_bias, _ = wcv()
+        perm = jnp.asarray(_block_channel_perm(four_fin))
+        conv_kernel = conv_kernel[..., perm]
+        conv_bias = conv_bias[perm]
+
+        # fused head: kNN + gather + window conv + merge partial + BN
+        # stats; fused tail: BN fold + LeakyReLU + merge. The (B, N, k, C)
+        # neighbour tensor and the (B, N, k, 2Fin) edge tensor never exist
+        # in HBM.
+        idx, inte_raw, partial, (i_mean, i_var) = edge_conv_head(
+            x, conv_kernel, conv_bias, merge_kernel, self.k)[:4]
+        i_mean, i_var = _sync_stats(i_mean, i_var, self.axis_name)
+        _, _, i_stats = wcv(i_mean, i_var)
+        y = edge_conv_tail(partial, inte_raw, None, i_stats, None, None,
+                           merge_kernel, merge_bias, self.k)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)                        # (B,2N,Fout)
@@ -315,49 +392,87 @@ class BilateralUpsampleEdgeConv(nn.Module):
     def __call__(self, x, pc):
         B, N, C = x.shape
         hk = self.k // 2
-        idx, nbr = neighbor_features(x, self.k)
-        # weight-net slots in (window, j) order so its output reshapes
-        # *contiguously* into the block channel layout of the window-conv
-        # output: slot s'' = w*2 + j carries reference slot j*hk + w. The
-        # permutation rides the (tiny, int32) index tensor — the gathered
-        # activations are produced directly in the fused layout.
-        idx_b = idx.reshape(B, N, 2, hk).transpose(0, 1, 3, 2)
-        idx_b = idx_b.reshape(B, N, self.k)
+        four_fin = 4 * self.fin
+        window = hk + 1
+        merge_kernel, merge_bias = _DenseParams(
+            (2 * self.k * 2 * self.fin, 2 * self.fout),
+            fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
+        wcv = _WindowConvVars((1, window, 2 * C, four_fin),
+                              2 * C * window, name="_WindowConv_0")
+        conv_kernel, conv_bias, _ = wcv()
+        perm = jnp.asarray(_block_channel_perm(four_fin))
+        conv_kernel = conv_kernel[..., perm]
+        conv_bias = conv_bias[perm]
 
+        # weight-net projections for the fused head. The decomposition is
+        # _split_1x1's: ``e @ W = x @ (Wc - Wn) + gather(src @ Wn)`` — the
+        # head kernel gathers the (tiny, 32-channel) concatenated
+        # projections per neighbour slot in (window, j) order (reference
+        # slot j*hk + w rides slot s'' = w*2 + j), so its flat outputs
+        # reshape *contiguously* into the block channel layout of the
+        # window-conv output downstream.
         fea_params = _DenseParams((2 * C, 16), fan_in=2 * C,
                                   name="conv_fea")()
         xyz_params = _DenseParams((6, 16), fan_in=6, name="conv_xyz")()
-        w_fea, w_xyz = _dual_split_1x1(x, pc, idx_b, fea_params, xyz_params,
-                                       self.dtype)
-        w_fea = leaky_relu(BatchNorm(axis_name=self.axis_name,
-                                     dtype=self.dtype, name="bn_fea")(w_fea))
-        w_xyz = leaky_relu(BatchNorm(axis_name=self.axis_name,
-                                     dtype=self.dtype, name="bn_xyz")(w_xyz))
-        w = w_fea * w_xyz
-        w = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                                 name="bn_all1")(
-            TorchDense(64, dtype=self.dtype, name="conv_all1")(w)))
-        w = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                                 name="bn_all2")(
-            TorchDense(2 * self.fin, dtype=self.dtype, name="conv_all2")(w)))
-        if self.softmax:
-            # reference softmaxes over the neighbour axis (torch dim=-1 on
-            # (B, C, N, K)); here the neighbour axis is 2 — invariant to
-            # the slot permutation above
-            w = nn.softmax(w, axis=2)
-        # (B, N, k, 2Fin) in s''=(w, j) slot order -> block conv layout
-        # (B, N, hk, 4Fin): a *contiguous* reshape, no copy
-        w = w.reshape(B, N, hk, 4 * self.fin)
+        fk, fb = fea_params
+        xk, xb = xyz_params
+        cp = pc.shape[-1]
+        dt = self.dtype
+        xd, pcd = _cast(dt, x, pc)
+        fwc, fwn = _cast(dt, fk[:C] - fk[C:], fk[C:])
+        xwc, xwn = _cast(dt, xk[:cp] - xk[cp:], xk[cp:])
+        ppoint = jnp.concatenate(
+            [_to(dt, jnp.matmul(xd, fwc, **_MMF32) + fb),
+             _to(dt, jnp.matmul(pcd, xwc, **_MMF32) + xb)], axis=-1)
+        pcat = jnp.concatenate(
+            [_to(dt, jnp.matmul(xd, fwn, **_MMF32)),
+             _to(dt, jnp.matmul(pcd, xwn, **_MMF32))], axis=-1)
 
-        inte = _WindowConv(4 * self.fin, self.k // 2 + 1,
-                           axis_name=self.axis_name,
-                           dtype=self.dtype)(x, nbr)     # (B,N,hk,4Fin) block
-        inte = inte * w
-        merge_params = _DenseParams(
-            (2 * self.k * 2 * self.fin, 2 * self.fout),
-            fan_in=2 * self.k * 2 * self.fin, name="TorchDense_0")()
-        y = _merge_gemm(x, nbr, inte, merge_params, self.dtype,
-                        inte_layout="block")
+        # fused head: kNN + gathers + window conv + merge partial +
+        # weight-net front + all BN stats (the (B, N, k, C) neighbour
+        # tensor never exists in HBM)
+        (idx, inte_raw, partial, (i_mean, i_var),
+         wfea, wxyz, fea_stats, xyz_stats) = edge_conv_head(
+            x, conv_kernel, conv_bias, merge_kernel, self.k, pcat, ppoint)
+        i_mean, i_var = _sync_stats(i_mean, i_var, self.axis_name)
+        _, _, i_stats = wcv(i_mean, i_var)
+
+        eps = 1e-5
+        fm, fv = _sync_stats(*fea_stats, self.axis_name)
+        xm, xv = _sync_stats(*xyz_stats, self.axis_name)
+        _, _, fsc, fsh = BatchNormFold(name="bn_fea")(fm, fv)
+        _, _, xsc, xsh = BatchNormFold(name="bn_xyz")(xm, xv)
+        fs = fsc * jax.lax.rsqrt(fv + eps)
+        xs = xsc * jax.lax.rsqrt(xv + eps)
+        # normalise + LeakyReLU + gate-multiply in the lane-flat layout
+        # (per-channel vectors tile across the k slots) — one fused pass
+        w_flat = _to(dt, leaky_relu(
+            wfea.astype(jnp.float32) * jnp.tile(fs, self.k)
+            + jnp.tile(fsh - fm * fs, self.k))
+            * leaky_relu(
+            wxyz.astype(jnp.float32) * jnp.tile(xs, self.k)
+            + jnp.tile(xsh - xm * xs, self.k)))
+        w4 = w_flat.reshape(B, N, self.k, 16)
+        h = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                 name="bn_all1")(
+            TorchDense(64, dtype=self.dtype, name="conv_all1")(w4)))
+        # conv_all2 + bn_all2 + LeakyReLU + softmax + gating + merge all
+        # run inside the fused tail: the (B, N, k, 2Fin) gate tensor never
+        # materialises. bn_all2's batch statistics come from the
+        # second-moment identity on h (exact — see _linear_bn_stats); the
+        # softmax over the neighbour axis (reference torch dim=-1 on
+        # (B, C, N, K)) is invariant to the slot permutation above, and
+        # consecutive slot pairs form the block channel layout of the
+        # window-conv output.
+        w2_params = _DenseParams((h.shape[-1], 2 * self.fin),
+                                 fan_in=h.shape[-1], name="conv_all2")()
+        m2, v2 = _linear_bn_stats(h, w2_params[0], w2_params[1],
+                                  self.axis_name)
+        w2_stats = BatchNormFold(name="bn_all2")(m2, v2)
+
+        y = edge_conv_tail(partial, inte_raw, h, i_stats, w2_params,
+                           w2_stats, merge_kernel, merge_bias, self.k,
+                           softmax=self.softmax)
         y = BatchNorm(axis_name=self.axis_name)(y)
         y = nn.relu(y)
         return _point_pixel_shuffle(y)

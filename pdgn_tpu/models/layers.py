@@ -103,6 +103,54 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _BNStatsVars(nn.Module):
+    """Inner variable holder mirroring flax ``nn.BatchNorm``'s layout."""
+
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, mean, var, update: bool = True):
+        scale = self.param("scale", nn.initializers.ones, mean.shape,
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, mean.shape,
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros(mean.shape, jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones(var.shape, jnp.float32))
+        if update and not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return scale, bias
+
+
+class BatchNormFold(nn.Module):
+    """Variable-compatible BatchNorm stand-in for fused normalisation.
+
+    Consumes *precomputed* batch statistics (so the callers can fold the
+    normalisation into a fused kernel — see pdgn_tpu.ops.pallas.
+    bilateral_tail) while creating exactly the same parameters
+    (``bn/{scale,bias}``) and running statistics (``bn/{mean,var}``,
+    momentum update) as :class:`BatchNorm`, so parameter trees and
+    checkpoints are interchangeable between the fused and unfused paths.
+
+    Returns ``(mean, var, scale, bias)``.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, mean, var, update: bool = True):
+        scale, bias = _BNStatsVars(self.momentum, name="bn")(mean, var,
+                                                             update)
+        return mean, var, scale, bias
+
+
 class DenseBR(nn.Module):
     """Dense + BN + activation (== reference ``fcbr``/``conv1dbr``).
 

@@ -1,0 +1,466 @@
+"""Fused edge-conv head Pallas TPU kernel: kNN + gathers + window conv.
+
+The head of every generator stage (reference ``get_edge_features`` /
+``get_edge_features_xyz`` + ``inte_conv_hk``, models/PDGNet_v2.py:439-528,
+561-578) is, in XLA form: a Pallas kNN, HBM gathers of the (B, N, k, C)
+neighbour tensor and the (B, N, k, 32) weight-net projections, five
+layout copies between the gather/conv/merge layouts, the window
+convolution and two full-tensor batch-norm stats passes — almost all of
+it HBM-bandwidth-bound data formatting.
+
+This kernel does the whole head in VMEM per (batch, point-tile) grid
+step, with the full per-sample feature matrix resident:
+
+* distances on the MXU, then a packed-key top-k: the (bf16-rounded)
+  distance occupies the high 16 bits of an int32 key and the lane index
+  the low 16, so ascending-distance lowest-index-first extraction
+  (the reference tie-break, knnquery_cuda_kernel.cu) is a plain integer
+  min + compare per neighbour. Distances already come from a
+  default-precision (bf16) MXU matmul, so key packing does not change
+  the selection regime (``PDGN_EXACT_KNN=1`` routes around this kernel
+  entirely for fp32-exact graphs);
+* the ``key == min`` mask IS the one-hot gather matrix: each neighbour
+  row costs one (T, N) x (N, C) MXU matmul and no HBM traffic (fp32
+  inputs use a bf16 hi/lo split — ~2^-16-exact; bf16 inputs are
+  gathered exactly);
+* the window convolution computes as k/2 patch GEMMs and writes its
+  output directly in the lane-flat (B, N, hk*4Fin) block layout the
+  fused tail kernel (bilateral_tail.py) consumes — no interleave, no
+  relayout;
+* the merge conv's central + neighbour contractions
+  (``x @ A + nbr_flat @ We_n``) are folded in as a running fp32 partial,
+  so the neighbour tensor never exists in HBM at all;
+* for bilateral stages, the weight-net front also rides the one-hot
+  masks: the 32-channel projections gather per slot (in the generator's
+  (window, j) slot order, so the index permutation costs nothing),
+  the central terms are added, and the two 16-channel pre-activations
+  are written lane-flat;
+* every batch-norm statistic (window conv, weight-net fea/xyz) is
+  accumulated across the sequential grid into revisited VMEM blocks —
+  the separate full-tensor stats passes disappear.
+
+Gradients: ``custom_vjp`` treating the kNN indices as constants (as the
+reference does — the graph is not differentiated) and recomputing the
+gather/conv/merge chain in jnp on the backward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_T = 128          # query rows per grid step
+_PROJ = 32        # weight-net projection channels (16 fea + 16 xyz)
+
+_F32 = dict(preferred_element_type=jnp.float32)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), **_F32)
+
+
+def _head_kernel(k: int, window: int, exact_gather: bool, gated: bool, dt,
+                 *refs):
+    if gated:
+        (q_ref, xt_ref, qsq_ref, dbsq_ref, db_hi_ref, db_lo_ref,
+         pcat_hi_ref, pcat_lo_ref, ppoint_ref,
+         wn_ref, ca_ref, cb_ref, am_ref, wen_ref,
+         idx_ref, inte_ref, partial_ref, stats_ref,
+         wfea_ref, wxyz_ref, wstats_ref) = refs
+    else:
+        (q_ref, xt_ref, qsq_ref, dbsq_ref, db_hi_ref, db_lo_ref,
+         wn_ref, ca_ref, cb_ref, am_ref, wen_ref,
+         idx_ref, inte_ref, partial_ref, stats_ref) = refs
+
+    T = q_ref.shape[1]
+    N = xt_ref.shape[2]
+    hk = k // 2
+    four_fin = ca_ref.shape[1]
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first = jnp.logical_and(b == 0, t == 0)
+
+    prod = jax.lax.dot_general(
+        q_ref[0], xt_ref[0], (((1,), (0,)), ((), ())), **_F32)
+    d = qsq_ref[0] + dbsq_ref[0] - 2.0 * prod            # (T, N) fp32
+    # packed sort key: bf16-rounded non-negative distance in the high 16
+    # bits (monotone as an int for d >= 0), lane index in the low 16
+    d = jnp.maximum(d, 0.0).astype(jnp.bfloat16).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    key = jax.lax.bitcast_convert_type(d, jnp.int32) | lane
+
+    db_hi = db_hi_ref[0]                                 # (N, C) bf16
+    imax = jnp.int32(0x7FFFFFFF)
+    idx_cols = []
+    masks = []
+    for j in range(k + 1):
+        m = jnp.min(key, axis=1, keepdims=True)          # (T, 1)
+        msk = key == m
+        if j > 0:  # slot 0 is the query itself — dropped
+            idx_cols.append(m & 0xFFFF)                  # (T, 1)
+            masks.append(msk)
+        key = jnp.where(msk, imax, key)
+    idx_ref[0] = jnp.concatenate(idx_cols, axis=-1)      # (T, k)
+
+    nbrs = []
+    ohs = []
+    for j in range(k):
+        oh = masks[j].astype(jnp.bfloat16)
+        ohs.append(oh)
+        row = _dot(oh, db_hi)
+        if exact_gather:
+            row = row + _dot(oh, db_lo_ref[0])
+        nbrs.append(row.astype(dt))                      # (T, C)
+
+    x_dt = q_ref[0].astype(dt)
+    nbr_flat = jnp.concatenate(nbrs, axis=-1)            # (T, k*C)
+    partial_ref[0] = _dot(x_dt, am_ref[...]) + _dot(nbr_flat, wen_ref[...])
+
+    point = _dot(x_dt, ca_ref[...]) + cb_ref[...]        # (T, 4Fin) fp32
+    ssum = jnp.zeros((1, four_fin), jnp.float32)
+    ssq = jnp.zeros((1, four_fin), jnp.float32)
+    for wp in range(hk):
+        patch = jnp.concatenate(nbrs[wp:wp + window], axis=-1)
+        y = _dot(patch, wn_ref[...]) + point             # fp32
+        yc = y.astype(dt)
+        inte_ref[0, :, wp * four_fin:(wp + 1) * four_fin] = yc
+        yf = yc.astype(jnp.float32)
+        ssum = ssum + jnp.sum(yf, axis=0, keepdims=True)
+        ssq = ssq + jnp.sum(yf * yf, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    stats_ref[0:1, :] = stats_ref[0:1, :] + ssum
+    stats_ref[1:2, :] = stats_ref[1:2, :] + ssq
+
+    if gated:
+        # weight-net front: gather the 32-channel projections per slot
+        # (slot s'' reads extraction index (s''%2)*hk + s''//2 — the
+        # generator's (window, j) order), add the central terms, write
+        # both 16-channel halves lane-flat and accumulate their stats
+        pcat_hi = pcat_hi_ref[0]                         # (N, 32)
+        ppoint = ppoint_ref[0].astype(jnp.float32)       # (T, 32)
+        half = _PROJ // 2
+        wsums = []
+        wsqs = []
+        for s in range(k):
+            j = (s % 2) * hk + s // 2
+            prow = _dot(ohs[j], pcat_hi)
+            if exact_gather:
+                prow = prow + _dot(ohs[j], pcat_lo_ref[0])
+            wrow = (prow + ppoint).astype(dt)            # (T, 32)
+            wfea_ref[0, :, s * half:(s + 1) * half] = wrow[:, :half]
+            wxyz_ref[0, :, s * half:(s + 1) * half] = wrow[:, half:]
+            wf = wrow.astype(jnp.float32)
+            wsums.append(jnp.sum(wf, axis=0, keepdims=True))
+            wsqs.append(jnp.sum(wf * wf, axis=0, keepdims=True))
+        wsum = jnp.concatenate(wsums, axis=-1)           # (1, k*32)
+        wsq = jnp.concatenate(wsqs, axis=-1)
+
+        @pl.when(first)
+        def _():
+            wstats_ref[...] = jnp.zeros_like(wstats_ref)
+
+        wstats_ref[0:1, :] = wstats_ref[0:1, :] + wsum
+        wstats_ref[1:2, :] = wstats_ref[1:2, :] + wsq
+
+
+def _hi_lo(xf):
+    """bf16 hi/lo split (see ops/pallas/knn.py); the barrier pins the
+    split against --xla_allow_excess_precision."""
+    hi = jax.lax.optimization_barrier(xf.astype(jnp.bfloat16))
+    lo = jax.lax.optimization_barrier(
+        (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    return hi, lo
+
+
+def _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+                 k, window, interpret):
+    B, N, C = x.shape
+    hk = k // 2
+    four_fin = conv_a.shape[-1]
+    two_f = a_merge.shape[-1]
+    dt = x.dtype
+    exact_gather = dt == jnp.float32
+    gated = pcat is not None
+
+    xf = x.astype(jnp.float32)
+    xt = jnp.swapaxes(xf, 1, 2)                          # (B, C, N)
+    qsq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+    dbsq = jnp.swapaxes(qsq, 1, 2)
+    if exact_gather:
+        db_hi, db_lo = _hi_lo(xf)
+        if gated:
+            pcat_hi, pcat_lo = _hi_lo(pcat.astype(jnp.float32))
+    else:
+        db_hi = x
+        db_lo = jnp.zeros((B, 1, C), jnp.bfloat16)
+        if gated:
+            pcat_hi = pcat
+            pcat_lo = jnp.zeros((B, 1, _PROJ), jnp.bfloat16)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, t, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, t, _n=nd: (b,) + (0,) * (_n - 1),
+            memory_space=pltpu.VMEM)
+
+    def tspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        tspec((1, _T, C)), bspec((1, C, N)), tspec((1, _T, 1)),
+        bspec((1, 1, N)), bspec((1, N, C)), bspec((1, db_lo.shape[1], C)),
+    ]
+    operands = [xf, xt, qsq, dbsq, db_hi, db_lo]
+    if gated:
+        in_specs += [bspec((1, N, _PROJ)),
+                     bspec((1, pcat_lo.shape[1], _PROJ)),
+                     tspec((1, _T, _PROJ))]
+        operands += [pcat_hi, pcat_lo, ppoint.astype(dt)]
+    in_specs += [cspec(conv_wn.shape), cspec(conv_a.shape),
+                 cspec((1, four_fin)),
+                 cspec(a_merge.shape), cspec(wen.shape)]
+    operands += [conv_wn.astype(dt), conv_a.astype(dt),
+                 conv_bias.reshape(1, -1).astype(jnp.float32),
+                 a_merge.astype(dt), wen.astype(dt)]
+
+    out_specs = [
+        tspec((1, _T, k)),
+        tspec((1, _T, hk * four_fin)),
+        tspec((1, _T, two_f)),
+        pl.BlockSpec((2, four_fin), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        jax.ShapeDtypeStruct((B, N, hk * four_fin), dt),
+        jax.ShapeDtypeStruct((B, N, two_f), jnp.float32),
+        jax.ShapeDtypeStruct((2, four_fin), jnp.float32),
+    ]
+    if gated:
+        half = _PROJ // 2
+        out_specs += [tspec((1, _T, k * half)), tspec((1, _T, k * half)),
+                      pl.BlockSpec((2, k * _PROJ), lambda b, t: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, N, k * half), dt),
+                      jax.ShapeDtypeStruct((B, N, k * half), dt),
+                      jax.ShapeDtypeStruct((2, k * _PROJ), jnp.float32)]
+
+    outs = pl.pallas_call(
+        functools.partial(_head_kernel, k, window, exact_gather, gated, dt),
+        grid=(B, N // _T),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    if gated:
+        return outs
+    return outs + (None, None, None)
+
+
+def _head_reference_given_idx(x, conv_wn, conv_a, conv_bias, a_merge, wen,
+                              pcat, ppoint, idx, k, window):
+    """Recompute gathers + conv + partial + stats for a fixed kNN graph —
+    the VJP body and (with idx from ops.edges) the non-TPU fallback."""
+    from pdgn_tpu.ops.grouping import grouping
+
+    B, N, C = x.shape
+    hk = k // 2
+    four_fin = conv_a.shape[-1]
+    dt = x.dtype
+
+    nbr = grouping(x, idx)                               # (B, N, k, C)
+    nbr_flat = nbr.reshape(B, N, k * C)
+    partial = (jnp.matmul(x, a_merge.astype(dt), **_F32)
+               + jnp.matmul(nbr_flat, wen.astype(dt), **_F32))
+
+    point = (jnp.matmul(x, conv_a.astype(dt), **_F32)
+             + conv_bias.astype(jnp.float32))            # (B, N, 4Fin) fp32
+    parts = []
+    wnr = conv_wn.astype(dt).reshape(window, C, four_fin)
+    for wp in range(hk):
+        y = point
+        for t in range(window):
+            y = y + jnp.matmul(nbr[:, :, wp + t, :], wnr[t], **_F32)
+        parts.append(y.astype(dt))
+    inte = jnp.concatenate(parts, axis=-1)               # (B, N, hk*4Fin)
+    intef = inte.astype(jnp.float32)
+    stats = jnp.stack([
+        jnp.sum(intef.reshape(B, N, hk, four_fin), axis=(0, 1, 2)),
+        jnp.sum(jnp.square(intef).reshape(B, N, hk, four_fin),
+                axis=(0, 1, 2)),
+    ])
+    if pcat is None:
+        return inte, partial, stats, None, None, None
+
+    # weight-net front in the (window, j) slot order
+    idx_b = idx.reshape(B, N, 2, hk).transpose(0, 1, 3, 2)
+    idx_b = idx_b.reshape(B, N, k)
+    half = _PROJ // 2
+    wrow = (grouping(pcat, idx_b).astype(jnp.float32)
+            + ppoint.astype(jnp.float32)[:, :, None, :]).astype(dt)
+    wfea = wrow[..., :half].reshape(B, N, k * half)
+    wxyz = wrow[..., half:].reshape(B, N, k * half)
+    wf = wrow.astype(jnp.float32)
+    wstats = jnp.stack([
+        jnp.sum(wf, axis=(0, 1)).reshape(k * _PROJ),
+        jnp.sum(jnp.square(wf), axis=(0, 1)).reshape(k * _PROJ),
+    ])
+    return inte, partial, stats, wfea, wxyz, wstats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _head(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+          k, window, interpret):
+    return _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen,
+                        pcat, ppoint, k, window, interpret)
+
+
+def _head_fwd(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+              k, window, interpret):
+    out = _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen,
+                       pcat, ppoint, k, window, interpret)
+    idx = out[0]
+    return out, (x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+                 idx)
+
+
+def _head_bwd(k, window, interpret, res, cts):
+    x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint, idx = res
+    cts_ref = cts[1:]
+    if pcat is None:
+        cts_ref = cts_ref[:3]
+
+        def f(x, conv_wn, conv_a, conv_bias, a_merge, wen):
+            return _head_reference_given_idx(
+                x, conv_wn, conv_a, conv_bias, a_merge, wen, None, None,
+                idx, k, window)[:3]
+
+        _, vjp = jax.vjp(f, x, conv_wn, conv_a, conv_bias, a_merge, wen)
+        return vjp(cts_ref) + (None, None)
+
+    def f(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint):
+        return _head_reference_given_idx(
+            x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+            idx, k, window)
+
+    _, vjp = jax.vjp(f, x, conv_wn, conv_a, conv_bias, a_merge, wen,
+                     pcat, ppoint)
+    return vjp(cts_ref)
+
+
+_head.defvjp(_head_fwd, _head_bwd)
+
+
+def head_fusion_ok(x, k: int) -> bool:
+    """Kernel applies: TPU backend, 128-multiple N, even k, default
+    (non-exact) kNN mode."""
+    import os
+
+    if os.environ.get("PDGN_DISABLE_PALLAS") or os.environ.get(
+            "PDGN_EXACT_KNN"):
+        return False
+    if x.shape[1] % _T or k % 2 or x.shape[1] > 0x10000:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def edge_conv_head(
+    x: jnp.ndarray,
+    conv_kernel: jnp.ndarray,
+    conv_bias: jnp.ndarray,
+    merge_kernel: jnp.ndarray,
+    k: int,
+    pcat: Optional[jnp.ndarray] = None,
+    ppoint: Optional[jnp.ndarray] = None,
+    *,
+    interpret: bool = False,
+):
+    """Fused stage head: self-kNN (self excluded), neighbour gathers,
+    window conv (block channel order, lane-flat output), the merge conv's
+    central+neighbour partial and (bilateral stages) the weight-net front.
+
+    Args:
+      x: ``(B, N, C)`` point features (compute dtype).
+      conv_kernel: ``(1, W, 2C, 4Fin)`` window-conv kernel, block channel
+        order (the generator's param-side permutation already applied).
+      conv_bias: ``(4Fin,)``.
+      merge_kernel: ``(2k*2C, 2F)`` merge weight (reference slot layout).
+      k: neighbour count (even).
+      pcat: ``(B, N, 32)`` weight-net projections ``[x@Wn_fea | pc@Wn_xyz]``
+        (bilateral stages only).
+      ppoint: ``(B, N, 32)`` matching central terms
+        ``[x@(Wc-Wn)_fea + b_fea | pc@(Wc-Wn)_xyz + b_xyz]``.
+
+    Returns:
+      ``idx (B, N, k)`` int32; ``inte (B, N, (k/2)*4Fin)`` raw window-conv
+      output (lane-flat block layout); ``partial (B, N, 2F)`` fp32
+      (``x @ A_merge + nbr_flat @ We_n``); ``(mean, var)`` of the
+      window-conv output; and — bilateral only, else ``None``s —
+      ``wfea/wxyz (B, N, k*16)`` lane-flat weight-net pre-activations in
+      (window, j) slot order with ``(mean, var)`` stats for each.
+    """
+    B, N, C = x.shape
+    hk = k // 2
+    window = conv_kernel.shape[1]
+    four_fin = conv_kernel.shape[-1]
+    two_f = merge_kernel.shape[-1]
+
+    wc = conv_kernel[0, :, :C, :]
+    wn = conv_kernel[0, :, C:, :]
+    conv_a = jnp.sum(wc - wn, axis=0)                    # (C, 4Fin)
+    wn_flat = wn.reshape(window * C, four_fin)
+
+    kr = merge_kernel.reshape(2 * k, 2 * C, two_f)
+    a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
+    wen = kr[:k, C:, :].reshape(k * C, two_f)
+
+    if head_fusion_ok(x, k) or interpret:
+        idx, inte, partial, stats, wfea, wxyz, wstats = _head(
+            x, wn_flat, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+            k, window, interpret)
+    else:
+        from pdgn_tpu.ops.edges import _neighbor_idx
+
+        idx = _neighbor_idx(x, k)
+        inte, partial, stats, wfea, wxyz, wstats = \
+            _head_reference_given_idx(
+                x, wn_flat, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
+                idx, k, window)
+
+    count = B * N * hk
+    mean = stats[0] / count
+    var = stats[1] / count - jnp.square(mean)
+    if pcat is None:
+        return idx, inte, partial, (mean, var), None, None, None, None
+
+    wcount = B * N * k
+    ws = wstats.reshape(2, k, _PROJ)
+    wm = jnp.sum(ws[0], axis=0) / wcount                 # (32,)
+    wv = jnp.sum(ws[1], axis=0) / wcount - jnp.square(wm)
+    half = _PROJ // 2
+    fea_stats = (wm[:half], wv[:half])
+    xyz_stats = (wm[half:], wv[half:])
+    return idx, inte, partial, (mean, var), wfea, wxyz, fea_stats, xyz_stats

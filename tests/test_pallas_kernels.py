@@ -95,3 +95,160 @@ def test_knn_gather_gradient_matches_take_path():
         lambda a: jnp.sum(grouping(a, _neighbor_idx(a, 3)) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-3)
+
+
+# --------------------------------------------------- fused edge-conv kernels
+def _head_inputs(rng, B=2, N=128, C=16, k=6, two_f=12, gated=True):
+    window = k // 2 + 1
+    four_fin = 4 * C
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 0.5)
+    conv_kernel = jnp.asarray(
+        rng.randn(1, window, 2 * C, four_fin).astype(np.float32) * 0.1)
+    conv_bias = jnp.asarray(rng.randn(four_fin).astype(np.float32) * 0.1)
+    merge_kernel = jnp.asarray(
+        rng.randn(2 * k * 2 * C, two_f).astype(np.float32) * 0.05)
+    if not gated:
+        return x, conv_kernel, conv_bias, merge_kernel
+    pcat = jnp.asarray(rng.randn(B, N, 32).astype(np.float32) * 0.5)
+    ppoint = jnp.asarray(rng.randn(B, N, 32).astype(np.float32) * 0.5)
+    return x, conv_kernel, conv_bias, merge_kernel, pcat, ppoint
+
+
+def _bf16_knn_oracle(x, k):
+    """Ascending bf16-rounded distance, lowest index first, self dropped."""
+    xf = np.asarray(x, np.float64)
+    d = ((xf[:, :, None, :] - xf[:, None, :, :]) ** 2).sum(-1)
+    # the kernel computes qsq + dbsq - 2*q@db in fp32 then rounds to bf16
+    xs = (np.asarray(x) ** 2).sum(-1)
+    d32 = (xs[:, :, None] + xs[:, None, :]
+           - 2.0 * np.einsum("bnc,bmc->bnm", np.asarray(x), np.asarray(x)))
+    d32 = np.maximum(d32.astype(np.float32), 0.0)
+    dbf = jnp.asarray(d32).astype(jnp.bfloat16).astype(jnp.float32)
+    dbf = np.asarray(dbf)
+    B, N, _ = dbf.shape
+    lane = np.arange(N)
+    out = np.zeros((B, N, k), np.int32)
+    for b in range(B):
+        for n in range(N):
+            order = np.lexsort((lane, dbf[b, n]))
+            out[b, n] = order[1:k + 1]
+    return out
+
+
+def test_edge_head_matches_reference_given_idx():
+    from pdgn_tpu.ops.pallas.edge_head import edge_conv_head
+
+    rng = np.random.RandomState(7)
+    x, ck, cb, mk, pcat, pp = _head_inputs(rng)
+    idx, inte, partial, (im, iv), wfea, wxyz, fs, xs = edge_conv_head(
+        x, ck, cb, mk, 6, pcat, pp, interpret=True)
+
+    # kNN: packed bf16-distance keys, lowest-index tie-break
+    want_idx = _bf16_knn_oracle(x, 6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+    # everything else: exact vs the jnp formulation on the same graph
+    from pdgn_tpu.ops.pallas.edge_head import _head_reference_given_idx
+    C = x.shape[-1]
+    window = ck.shape[1]
+    four_fin = ck.shape[-1]
+    wc, wn = ck[0, :, :C, :], ck[0, :, C:, :]
+    conv_a = jnp.sum(wc - wn, axis=0)
+    kr = mk.reshape(2 * 6, 2 * C, mk.shape[-1])
+    a_merge = jnp.sum(kr[:6, :C, :] - kr[:6, C:, :], axis=0)
+    wen = kr[:6, C:, :].reshape(6 * C, mk.shape[-1])
+    ref = _head_reference_given_idx(
+        x, wn.reshape(window * C, four_fin), conv_a, cb, a_merge, wen,
+        pcat, pp, idx, 6, window)
+    np.testing.assert_allclose(np.asarray(inte), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(partial), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wfea), np.asarray(ref[3]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wxyz), np.asarray(ref[4]),
+                               rtol=1e-4, atol=1e-4)
+    # stats recombine into mean/var
+    count = x.shape[0] * x.shape[1] * 3
+    np.testing.assert_allclose(np.asarray(im),
+                               np.asarray(ref[2][0]) / count, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_edge_tail_matches_reference():
+    from pdgn_tpu.ops.pallas.bilateral_tail import (_pallas_tail, _reference)
+
+    rng = np.random.RandomState(8)
+    B, N, k, two_fin, two_f, H = 2, 128, 6, 16, 12, 8
+    hk = k // 2
+    four_fin = 2 * two_fin
+    partial = jnp.asarray(rng.randn(B, N, two_f).astype(np.float32))
+    inte = jnp.asarray(rng.randn(B, N, hk * four_fin).astype(np.float32))
+    h = jnp.asarray(rng.randn(B, N, k * H).astype(np.float32) * 0.5)
+    isc = jnp.asarray((rng.rand(four_fin) + 0.5).astype(np.float32))
+    ish = jnp.asarray(rng.randn(four_fin).astype(np.float32) * 0.1)
+    w2k = jnp.asarray(rng.randn(H, two_fin).astype(np.float32) * 0.3)
+    w2b = jnp.asarray(rng.randn(two_fin).astype(np.float32) * 0.1)
+    s2 = jnp.asarray((rng.rand(two_fin) + 0.5).astype(np.float32))
+    t2 = jnp.asarray(rng.randn(two_fin).astype(np.float32) * 0.1)
+    wi = jnp.asarray(
+        rng.randn(hk * four_fin, two_f).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(two_f).astype(np.float32) * 0.1)
+
+    args = (partial, inte, h, isc, ish, w2k, w2b, s2, t2, wi, bias)
+    got = _pallas_tail(*args, k, True, True)
+    want = _reference(*args, k, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # ungated variant
+    got = _pallas_tail(partial, inte, None, isc, ish, w2k, w2b, s2, t2,
+                       wi, bias, k, False, True)
+    want = _reference(partial, inte, None, isc, ish, w2k, w2b, s2, t2,
+                      wi, bias, k, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_edge_head_gradients_match_reference_composition():
+    """The custom VJPs must equal differentiating the jnp composition on
+    the same (constant) kNN graph."""
+    import jax as _jax
+
+    from pdgn_tpu.ops.pallas.edge_head import (_head_reference_given_idx,
+                                               edge_conv_head)
+
+    rng = np.random.RandomState(9)
+    x, ck, cb, mk, pcat, pp = _head_inputs(rng)
+    k = 6
+    window = ck.shape[1]
+    C = x.shape[-1]
+    four_fin = ck.shape[-1]
+
+    def loss_kernel(x, ck, pcat):
+        out = edge_conv_head(x, ck, cb, mk, k, pcat, pp, interpret=True)
+        _, inte, partial, (m, v), wfea, wxyz, _, _ = out
+        return (jnp.sum(inte ** 2) + jnp.sum(partial ** 2) + jnp.sum(m)
+                + jnp.sum(v) + jnp.sum(wfea ** 2) + jnp.sum(wxyz ** 2))
+
+    idx = edge_conv_head(x, ck, cb, mk, k, pcat, pp, interpret=True)[0]
+
+    def loss_ref(x, ck, pcat):
+        wc, wn = ck[0, :, :C, :], ck[0, :, C:, :]
+        conv_a = jnp.sum(wc - wn, axis=0)
+        kr = mk.reshape(2 * k, 2 * C, mk.shape[-1])
+        a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
+        wen = kr[:k, C:, :].reshape(k * C, mk.shape[-1])
+        inte, partial, stats, wfea, wxyz, _ = _head_reference_given_idx(
+            x, wn.reshape(window * C, four_fin), conv_a, cb, a_merge, wen,
+            pcat, pp, idx, k, window)
+        count = x.shape[0] * x.shape[1] * (k // 2)
+        m = stats[0] / count
+        v = stats[1] / count - m ** 2
+        return (jnp.sum(inte ** 2) + jnp.sum(partial ** 2) + jnp.sum(m)
+                + jnp.sum(v) + jnp.sum(wfea ** 2) + jnp.sum(wxyz ** 2))
+
+    g1 = _jax.grad(loss_kernel, argnums=(0, 1, 2))(x, ck, pcat)
+    g2 = _jax.grad(loss_ref, argnums=(0, 1, 2))(x, ck, pcat)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
