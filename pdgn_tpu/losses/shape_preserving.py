@@ -7,10 +7,14 @@ generated resolutions, group each cloud's 20-NN neighbourhoods around the
 covariance, and penalise the Chamfer distance between the two statistic
 sets (normalised by the coarse point count).
 
-The kNN + gather + covariance chain is one fused XLA program: pairwise
-matmul (MXU) -> top-k -> batched gather -> small einsum, with the
-scatter-add backward supplied by autodiff (the reference needed the
-custom grouping CUDA backward for this).
+On TPU the kNN + gather + covariance chain is one fused Pallas kernel
+with an analytic backward (ops/pallas/local_stats.py): the neighbourhood
+moments are a single one-hot matmul against a 12-lane payload and the
+backward collapses to a transposed one-hot matmul — no (B, M, K, 3)
+tensor in either direction (the reference needed the custom grouping
+CUDA backward for the scatter this avoids). Elsewhere it is the XLA
+composition: pairwise matmul (MXU) -> top-k -> batched gather -> small
+einsum, with the scatter-add backward supplied by autodiff.
 """
 
 from __future__ import annotations
@@ -65,16 +69,13 @@ def get_local_pair(
       ``(like_mu, like_cov)`` scalars, each a sum-reduced Chamfer distance
       divided by ``M``.
     """
+    from pdgn_tpu.ops.pallas.local_stats import local_mean_cov
+
     M = pt1.shape[1]
-    g1 = group_xyz(pt1, pt1, nsample=nsample)        # (B, M, K, 3)
-    g2 = group_xyz(pt2, pt1, nsample=nsample)        # (B, M, K, 3)
-    mu1, cov1 = compute_mean_covariance(g1)
-    mu2, cov2 = compute_mean_covariance(g2)
-    B = pt1.shape[0]
+    mu1, cov1 = local_mean_cov(pt1, pt1, nsample)    # (B,M,3), (B,M,9)
+    mu2, cov2 = local_mean_cov(pt2, pt1, nsample)
     like_mu = chamfer_loss(mu1, mu2) / float(M)
-    like_cov = chamfer_loss(
-        cov1.reshape(B, M, 9), cov2.reshape(B, M, 9)
-    ) / float(M)
+    like_cov = chamfer_loss(cov1, cov2) / float(M)
     return like_mu, like_cov
 
 

@@ -36,10 +36,15 @@ relayouts.
 
 HBM traffic per stage: read partial, inte, h once; write y once.
 
-Gradients: a ``custom_vjp`` whose backward is the jnp reference
-formulation's VJP (same math; the kernel is a fusion, not an
-approximation). The reference path is also the non-TPU fallback, so unit
-tests exercise identical code on CPU.
+Gradients: a ``custom_vjp`` whose backward is a second Pallas kernel of
+the same shape — it re-derives the gate weights and normalised window
+features in VMEM from the saved ``inte``/``h`` tiles, walks the
+softmax/LeakyReLU/BN-fold chain backwards per tile, and accumulates every
+weight gradient (merge, conv_all2, the two BN folds) into revisited VMEM
+blocks across the grid. As in the forward, the (B, N, k, 2Fin) gate
+tensor exists in neither direction. Off-TPU the backward is the jnp
+reference formulation's VJP (same math), so unit tests exercise identical
+semantics on CPU and the interpret-mode kernel is checked against it.
 """
 
 from __future__ import annotations
@@ -125,6 +130,247 @@ def _plain_kernel(k: int, two_fin: int, out_dtype,
     g = jnp.concatenate(gparts, axis=-1)
     acc = partial_ref[0] + _dot(g, wi_ref[...])
     out_ref[0] = (acc + bias_ref[...]).astype(out_dtype)
+
+
+def _gated_bwd_kernel(k: int, hidden: int, two_fin: int, softmax: bool,
+                      inte_ref, h_ref,
+                      isc_ref, ish_ref, w2k_ref, w2b_ref, s2_ref, t2_ref,
+                      wi_t_ref, w2k_t_ref, dout_ref,
+                      dinte_ref, dh_ref, dwi_ref, dbias_ref,
+                      disc_ref, dish_ref, dw2k_ref, dw2b_ref,
+                      ds2_ref, dt2_ref):
+    hk = k // 2
+    four_fin = 2 * two_fin
+    dt = inte_ref.dtype
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dwi_ref, dbias_ref, disc_ref, dish_ref,
+                  dw2k_ref, dw2b_ref, ds2_ref, dt2_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    # ---- recompute the forward chain (same math as _gated_kernel)
+    pres = []
+    hats = []   # pre * s2 + t2 (pre-activation of the folded BN)
+    u = []
+    for j in range(k):
+        hj = h_ref[0][:, j * hidden:(j + 1) * hidden]
+        pre = _dot(hj, w2k_ref[...]) + w2b_ref[...]
+        hat = pre * s2_ref[...] + t2_ref[...]
+        pres.append(pre)
+        hats.append(hat)
+        u.append(_leaky(hat))
+    if softmax:
+        m = u[0]
+        for j in range(1, k):
+            m = jnp.maximum(m, u[j])
+        e = [jnp.exp(uj - m) for uj in u]
+        z = e[0]
+        for j in range(1, k):
+            z = z + e[j]
+        inv = 1.0 / z
+        w = [ej * inv for ej in e]
+    else:
+        w = u
+
+    dout = dout_ref[0]                                    # (T, 2F) fp32
+    dbias_ref[...] = dbias_ref[...] + jnp.sum(dout, axis=0, keepdims=True)
+    dg = _dot(dout.astype(dt), wi_t_ref[...])             # (T, hk*4Fin)
+
+    gis = []
+    dsc = jnp.zeros((1, four_fin), jnp.float32)
+    dsh = jnp.zeros((1, four_fin), jnp.float32)
+    dws = []                                              # d_w per slot
+    for wp in range(hk):
+        iw = inte_ref[0][:, wp * four_fin:(wp + 1) * four_fin]
+        iw = iw.astype(jnp.float32)
+        pre_i = iw * isc_ref[...] + ish_ref[...]
+        mi = jnp.where(pre_i >= 0, 1.0, 0.01)
+        gi = jnp.where(pre_i >= 0, pre_i, 0.01 * pre_i)
+        wblk = jnp.concatenate([w[2 * wp], w[2 * wp + 1]], axis=-1)
+        gis.append((gi * wblk).astype(dt))                # g for d_wi
+        dgw = dg[:, wp * four_fin:(wp + 1) * four_fin].astype(jnp.float32)
+        dgi = dgw * wblk
+        dwblk = dgw * gi
+        dws.append(dwblk[:, :two_fin])
+        dws.append(dwblk[:, two_fin:])
+        dpre_i = dgi * mi
+        dinte_ref[0, :, wp * four_fin:(wp + 1) * four_fin] = (
+            dpre_i * isc_ref[...]).astype(dt)
+        dsc = dsc + jnp.sum(dpre_i * iw, axis=0, keepdims=True)
+        dsh = dsh + jnp.sum(dpre_i, axis=0, keepdims=True)
+    disc_ref[...] = disc_ref[...] + dsc
+    dish_ref[...] = dish_ref[...] + dsh
+
+    g = jnp.concatenate(gis, axis=-1)                     # (T, hk*4Fin)
+    dwi_ref[...] = dwi_ref[...] + jax.lax.dot_general(
+        g, dout.astype(dt), (((0,), (0,)), ((), ())), **_F32)
+
+    if softmax:
+        s = dws[0] * w[0]
+        for j in range(1, k):
+            s = s + dws[j] * w[j]
+        dus = [w[j] * (dws[j] - s) for j in range(k)]
+    else:
+        dus = dws
+
+    dw2k = jnp.zeros((hidden, two_fin), jnp.float32)
+    dw2b = jnp.zeros((1, two_fin), jnp.float32)
+    ds2 = jnp.zeros((1, two_fin), jnp.float32)
+    dt2 = jnp.zeros((1, two_fin), jnp.float32)
+    for j in range(k):
+        m2 = jnp.where(hats[j] >= 0, 1.0, 0.01)
+        dhat = dus[j] * m2
+        ds2 = ds2 + jnp.sum(dhat * pres[j], axis=0, keepdims=True)
+        dt2 = dt2 + jnp.sum(dhat, axis=0, keepdims=True)
+        dpre = dhat * s2_ref[...]
+        dh_ref[0, :, j * hidden:(j + 1) * hidden] = _dot(
+            dpre.astype(dt), w2k_t_ref[...]).astype(dt)
+        hj = h_ref[0][:, j * hidden:(j + 1) * hidden]
+        dw2k = dw2k + jax.lax.dot_general(
+            hj, dpre.astype(dt), (((0,), (0,)), ((), ())), **_F32)
+        dw2b = dw2b + jnp.sum(dpre, axis=0, keepdims=True)
+    dw2k_ref[...] = dw2k_ref[...] + dw2k
+    dw2b_ref[...] = dw2b_ref[...] + dw2b
+    ds2_ref[...] = ds2_ref[...] + ds2
+    dt2_ref[...] = dt2_ref[...] + dt2
+
+
+def _plain_bwd_kernel(k: int, two_fin: int,
+                      inte_ref, isc_ref, ish_ref, wi_t_ref, dout_ref,
+                      dinte_ref, dwi_ref, dbias_ref, disc_ref, dish_ref):
+    hk = k // 2
+    four_fin = 2 * two_fin
+    dt = inte_ref.dtype
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dwi_ref, dbias_ref, disc_ref, dish_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    dout = dout_ref[0]
+    dbias_ref[...] = dbias_ref[...] + jnp.sum(dout, axis=0, keepdims=True)
+    dg = _dot(dout.astype(dt), wi_t_ref[...])
+
+    gis = []
+    dsc = jnp.zeros((1, four_fin), jnp.float32)
+    dsh = jnp.zeros((1, four_fin), jnp.float32)
+    for wp in range(hk):
+        iw = inte_ref[0][:, wp * four_fin:(wp + 1) * four_fin]
+        iw = iw.astype(jnp.float32)
+        pre_i = iw * isc_ref[...] + ish_ref[...]
+        mi = jnp.where(pre_i >= 0, 1.0, 0.01)
+        gis.append(jnp.where(pre_i >= 0, pre_i, 0.01 * pre_i).astype(dt))
+        dgw = dg[:, wp * four_fin:(wp + 1) * four_fin].astype(jnp.float32)
+        dpre_i = dgw * mi
+        dinte_ref[0, :, wp * four_fin:(wp + 1) * four_fin] = (
+            dpre_i * isc_ref[...]).astype(dt)
+        dsc = dsc + jnp.sum(dpre_i * iw, axis=0, keepdims=True)
+        dsh = dsh + jnp.sum(dpre_i, axis=0, keepdims=True)
+    disc_ref[...] = disc_ref[...] + dsc
+    dish_ref[...] = dish_ref[...] + dsh
+
+    g = jnp.concatenate(gis, axis=-1)
+    dwi_ref[...] = dwi_ref[...] + jax.lax.dot_general(
+        g, dout.astype(dt), (((0,), (0,)), ((), ())), **_F32)
+
+
+def _bwd_pallas(inte_flat, h_flat, isc, ish, w2k, w2b, s2, t2, wi,
+                dout, k, softmax, interpret):
+    """Pallas tail backward. Returns cotangents for every _fused operand
+    (``d_partial`` is ``dout`` itself and is handled by the caller)."""
+    B, N, two_f = dout.shape
+    hk = k // 2
+    four_fin = inte_flat.shape[-1] // hk
+    two_fin = four_fin // 2
+    dt = inte_flat.dtype
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, t, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def rowspec(b, t):
+        return (b, t, 0)
+
+    def acc_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, t, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    tile = lambda lanes: pl.BlockSpec((1, _T, lanes), rowspec,
+                                      memory_space=pltpu.VMEM)
+    grid = (B, N // _T)
+    doutf = dout.astype(jnp.float32)
+
+    if h_flat is not None:
+        hidden = h_flat.shape[-1] // k
+        outs = pl.pallas_call(
+            functools.partial(_gated_bwd_kernel, k, hidden, two_fin,
+                              softmax),
+            grid=grid,
+            in_specs=[tile(hk * four_fin), tile(k * hidden),
+                      cspec((1, four_fin)), cspec((1, four_fin)),
+                      cspec((hidden, two_fin)), cspec((1, two_fin)),
+                      cspec((1, two_fin)), cspec((1, two_fin)),
+                      cspec((two_f, hk * four_fin)),
+                      cspec((two_fin, hidden)), tile(two_f)],
+            out_specs=(tile(hk * four_fin), tile(k * hidden),
+                       acc_spec((hk * four_fin, two_f)), acc_spec((1, two_f)),
+                       acc_spec((1, four_fin)), acc_spec((1, four_fin)),
+                       acc_spec((hidden, two_fin)), acc_spec((1, two_fin)),
+                       acc_spec((1, two_fin)), acc_spec((1, two_fin))),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, N, hk * four_fin), dt),
+                jax.ShapeDtypeStruct((B, N, k * hidden), dt),
+                jax.ShapeDtypeStruct((hk * four_fin, two_f), jnp.float32),
+                jax.ShapeDtypeStruct((1, two_f), jnp.float32),
+                jax.ShapeDtypeStruct((1, four_fin), jnp.float32),
+                jax.ShapeDtypeStruct((1, four_fin), jnp.float32),
+                jax.ShapeDtypeStruct((hidden, two_fin), jnp.float32),
+                jax.ShapeDtypeStruct((1, two_fin), jnp.float32),
+                jax.ShapeDtypeStruct((1, two_fin), jnp.float32),
+                jax.ShapeDtypeStruct((1, two_fin), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(inte_flat, h_flat.astype(dt),
+          row(isc), row(ish), w2k.astype(dt), row(w2b), row(s2), row(t2),
+          jnp.swapaxes(wi.astype(dt), 0, 1),
+          jnp.swapaxes(w2k.astype(dt), 0, 1), doutf)
+        (dinte, dh, dwi, dbias, disc, dish, dw2k, dw2b, ds2, dt2) = outs
+        return (dinte, dh.astype(h_flat.dtype), disc, dish,
+                dw2k.astype(w2k.dtype), dw2b, ds2, dt2,
+                dwi.astype(wi.dtype), dbias)
+
+    outs = pl.pallas_call(
+        functools.partial(_plain_bwd_kernel, k, two_fin),
+        grid=grid,
+        in_specs=[tile(hk * four_fin),
+                  cspec((1, four_fin)), cspec((1, four_fin)),
+                  cspec((two_f, hk * four_fin)), tile(two_f)],
+        out_specs=(tile(hk * four_fin),
+                   acc_spec((hk * four_fin, two_f)), acc_spec((1, two_f)),
+                   acc_spec((1, four_fin)), acc_spec((1, four_fin))),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, hk * four_fin), dt),
+            jax.ShapeDtypeStruct((hk * four_fin, two_f), jnp.float32),
+            jax.ShapeDtypeStruct((1, two_f), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_fin), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_fin), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(inte_flat, row(isc), row(ish),
+      jnp.swapaxes(wi.astype(dt), 0, 1), doutf)
+    dinte, dwi, dbias, disc, dish = outs
+    return (dinte, None, disc, dish, None, None, None, None,
+            dwi.astype(wi.dtype), dbias)
 
 
 # ------------------------------------------------------------ jnp reference
@@ -248,10 +494,26 @@ def _fused_fwd(partial, inte_flat, h_flat, isc, ish, w2k, w2b, s2, t2,
 def _fused_bwd(k, softmax, interpret, res, g):
     (partial, inte_flat, h_flat, isc, ish, w2k, w2b, s2, t2,
      wi, bias) = res
-    _, vjp = jax.vjp(
-        lambda *args: _reference(*args, k, softmax), partial, inte_flat,
-        h_flat, isc, ish, w2k, w2b, s2, t2, wi, bias)
-    return vjp(g)
+    if not (interpret or tail_fusion_ok(partial, k)):
+        _, vjp = jax.vjp(
+            lambda *args: _reference(*args, k, softmax), partial, inte_flat,
+            h_flat, isc, ish, w2k, w2b, s2, t2, wi, bias)
+        return vjp(g)
+    (dinte, dh, disc, dish, dw2k, dw2b, ds2, dt2, dwi, dbias) = _bwd_pallas(
+        inte_flat, h_flat, isc, ish, w2k, w2b, s2, t2, wi, g,
+        k, softmax, interpret)
+    d_partial = g.astype(partial.dtype)
+    if h_flat is None:
+        return (d_partial, dinte, None,
+                disc.reshape(isc.shape), dish.reshape(ish.shape),
+                jnp.zeros_like(w2k), jnp.zeros_like(w2b),
+                jnp.zeros_like(s2), jnp.zeros_like(t2),
+                dwi, dbias.reshape(bias.shape).astype(bias.dtype))
+    return (d_partial, dinte, dh,
+            disc.reshape(isc.shape), dish.reshape(ish.shape),
+            dw2k, dw2b.reshape(w2b.shape), ds2.reshape(s2.shape),
+            dt2.reshape(t2.shape),
+            dwi, dbias.reshape(bias.shape).astype(bias.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

@@ -40,8 +40,15 @@ step, with the full per-sample feature matrix resident:
   the separate full-tensor stats passes disappear.
 
 Gradients: ``custom_vjp`` treating the kNN indices as constants (as the
-reference does — the graph is not differentiated) and recomputing the
-gather/conv/merge chain in jnp on the backward pass.
+reference does — the graph is not differentiated). On TPU the backward is
+a second Pallas kernel of the same tiling: it rebuilds the one-hot masks
+from the saved indices, pushes the merge/window-conv/weight-net cotangents
+through per-tile MXU GEMMs with bf16 operands (the same rounding XLA's
+default-precision backward applies to fp32 matmuls), performs the
+neighbour scatter as transposed one-hot matmuls into a per-sample VMEM
+accumulator, and accumulates every weight gradient across the grid — the
+(B, N, k, C) neighbour tensor exists in neither direction. Off-TPU the
+backward is the jnp reference composition's VJP.
 """
 
 from __future__ import annotations
@@ -173,6 +180,140 @@ def _head_kernel(k: int, window: int, exact_gather: bool, gated: bool, dt,
         wstats_ref[1:2, :] = wstats_ref[1:2, :] + wsq
 
 
+def _dot_t(a, b):
+    """Contract the leading axis: ``(T, N)^T @ (T, F) -> (N, F)``."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())), **_F32)
+
+
+# GEMM-operand dtype for the backward kernel. bf16 matches the rounding
+# XLA's default TPU precision applies to fp32 matmuls (which is what the
+# jnp reference VJP gets); tests flip it to fp32 to check the kernel's
+# math is exact modulo that rounding.
+_BWD_MM_DTYPE = jnp.bfloat16
+
+
+def _bf(x):
+    return x.astype(_BWD_MM_DTYPE)
+
+
+def _head_bwd_kernel(k: int, window: int, gated: bool, *refs):
+    if gated:
+        (x_ref, db_ref, idx_ref, inte_ref, dinte_ref, dpart_ref,
+         dstats_ref, wnt_ref, went_ref, cat_ref, amt_ref,
+         pcat_ref, ppoint_ref, dwfea_ref, dwxyz_ref, dwstats_ref,
+         dxc_ref, dxn_ref, dwn_ref, dca_ref, dbias_ref, dam_ref, dwen_ref,
+         dpc_ref, dpp_ref) = refs
+    else:
+        (x_ref, db_ref, idx_ref, inte_ref, dinte_ref, dpart_ref,
+         dstats_ref, wnt_ref, went_ref, cat_ref, amt_ref,
+         dxc_ref, dxn_ref, dwn_ref, dca_ref, dbias_ref, dam_ref,
+         dwen_ref) = refs
+
+    T = x_ref.shape[1]
+    N = db_ref.shape[1]
+    C = x_ref.shape[2]
+    hk = k // 2
+    four_fin = cat_ref.shape[0]
+    two_f = amt_ref.shape[0]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first = jnp.logical_and(b == 0, t == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dwn_ref, dca_ref, dbias_ref, dam_ref, dwen_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    @pl.when(t == 0)
+    def _():
+        dxn_ref[...] = jnp.zeros(dxn_ref.shape, dxn_ref.dtype)
+        if gated:
+            dpc_ref[...] = jnp.zeros(dpc_ref.shape, dpc_ref.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    ohs = []
+    nbrs = []
+    db = db_ref[0]                                        # (N, C) bf16
+    for j in range(k):
+        oh = (lane == idx_ref[0][:, j:j + 1]).astype(_BWD_MM_DTYPE)
+        ohs.append(oh)
+        nbrs.append(_bf(_dot(oh, db)))                    # (T, C) bf16
+
+    dpart = dpart_ref[0]                                  # (T, 2F) fp32
+    dpart_b = _bf(dpart)
+    x_b = _bf(x_ref[0])
+
+    # ---- window-conv chain: d_y per window (stats cotangent folded in)
+    ds0 = dstats_ref[0:1, :]                              # (1, 4Fin)
+    ds1 = dstats_ref[1:2, :]
+    dys = []
+    d_point = jnp.zeros((T, four_fin), jnp.float32)
+    for wp in range(hk):
+        y = inte_ref[0][:, wp * four_fin:(wp + 1) * four_fin]
+        y = y.astype(jnp.float32)
+        dy = (dinte_ref[0][:, wp * four_fin:(wp + 1) * four_fin]
+              + ds0 + 2.0 * y * ds1)
+        dys.append(dy)
+        d_point = d_point + dy
+
+    dbias_ref[...] = dbias_ref[...] + jnp.sum(d_point, axis=0,
+                                              keepdims=True)
+    d_point_b = _bf(d_point)
+    dca_ref[...] = dca_ref[...] + _dot_t(x_b, d_point_b)
+    dam_ref[...] = dam_ref[...] + _dot_t(x_b, dpart_b)
+    dxc_ref[0] = _dot(d_point_b, cat_ref[...]) + _dot(dpart_b, amt_ref[...])
+
+    # d_patch per window + window-kernel gradient
+    dpatches = []
+    dwn = jnp.zeros(dwn_ref.shape, jnp.float32)
+    for wp in range(hk):
+        dy_b = _bf(dys[wp])
+        dpatches.append(_dot(dy_b, wnt_ref[...]))         # (T, window*C)
+        patch = jnp.concatenate(nbrs[wp:wp + window], axis=-1)
+        dwn = dwn + _dot_t(patch, dy_b)
+    dwn_ref[...] = dwn_ref[...] + dwn
+
+    # ---- per-slot neighbour cotangents -> scatter + merge-weight grads
+    dxn = jnp.zeros((N, C), jnp.float32)
+    for j in range(k):
+        dnbr = _dot(dpart_b, went_ref[j * two_f:(j + 1) * two_f, :])
+        for wp in range(max(0, j - window + 1), min(hk, j + 1)):
+            dnbr = dnbr + dpatches[wp][:, (j - wp) * C:(j - wp + 1) * C]
+        dxn = dxn + _dot_t(ohs[j], _bf(dnbr))
+        dwen_ref[j * C:(j + 1) * C, :] = (
+            dwen_ref[j * C:(j + 1) * C, :] + _dot_t(nbrs[j], dpart_b))
+    dxn_ref[0] = dxn_ref[0] + dxn
+
+    if gated:
+        half = _PROJ // 2
+        pdb = pcat_ref[0]                                 # (N, 32) bf16
+        ppoint = ppoint_ref[0].astype(jnp.float32)
+        # build the full lane-flat wrow / cotangent rows first and slice
+        # afterwards: broadcasting a lane-SLICED (1, 32) vector against a
+        # (T, 32) tile is not Mosaic-lowerable, a full-width (1, k*32)
+        # row broadcast is
+        wrows = []
+        base = []
+        for s in range(k):
+            j = (s % 2) * hk + s // 2
+            wrows.append(_dot(ohs[j], pdb) + ppoint)      # (T, 32)
+            base.append(dwfea_ref[0][:, s * half:(s + 1) * half])
+            base.append(dwxyz_ref[0][:, s * half:(s + 1) * half])
+        wrow_flat = jnp.concatenate(wrows, axis=-1)       # (T, k*32)
+        dwrow_flat = (jnp.concatenate(base, axis=-1)
+                      + dwstats_ref[0:1, :]
+                      + 2.0 * wrow_flat * dwstats_ref[1:2, :])
+        dpp = jnp.zeros((T, _PROJ), jnp.float32)
+        dpc = jnp.zeros((N, _PROJ), jnp.float32)
+        for s in range(k):
+            j = (s % 2) * hk + s // 2
+            dwrow = dwrow_flat[:, s * _PROJ:(s + 1) * _PROJ]
+            dpp = dpp + dwrow
+            dpc = dpc + _dot_t(ohs[j], _bf(dwrow))
+        dpp_ref[0] = dpp
+        dpc_ref[0] = dpc_ref[0] + dpc
+
+
 def _hi_lo(xf):
     """bf16 hi/lo split (see ops/pallas/knn.py); the barrier pins the
     split against --xla_allow_excess_precision."""
@@ -277,6 +418,99 @@ def _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
     return outs + (None, None, None)
 
 
+def _head_bwd_pallas(x, conv_wn, conv_a, a_merge, wen, pcat, ppoint,
+                     idx, inte, d_inte, d_partial, d_stats,
+                     d_wfea, d_wxyz, d_wstats, k, window, interpret):
+    """Pallas head backward. Returns cotangents for
+    (x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint)."""
+    B, N, C = x.shape
+    hk = k // 2
+    four_fin = conv_a.shape[-1]
+    two_f = a_merge.shape[-1]
+    gated = pcat is not None
+    dt = x.dtype
+
+    xf = x.astype(jnp.float32)
+    db = xf.astype(_BWD_MM_DTYPE)                         # (B, N, C)
+    wnt = jnp.swapaxes(conv_wn, 0, 1).astype(_BWD_MM_DTYPE)
+    went = jnp.swapaxes(wen, 0, 1).reshape(two_f, k, C)
+    went = went.transpose(1, 0, 2).reshape(k * two_f, C)
+    went = went.astype(_BWD_MM_DTYPE)                     # slot-major wen^T
+    cat = jnp.swapaxes(conv_a, 0, 1).astype(_BWD_MM_DTYPE)
+    amt = jnp.swapaxes(a_merge, 0, 1).astype(_BWD_MM_DTYPE)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, t, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, t, _n=nd: (b,) + (0,) * (_n - 1),
+            memory_space=pltpu.VMEM)
+
+    def tspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [tspec((1, _T, C)), bspec((1, N, C)), tspec((1, _T, k)),
+                tspec((1, _T, hk * four_fin)),
+                tspec((1, _T, hk * four_fin)), tspec((1, _T, two_f)),
+                cspec((2, four_fin)),
+                cspec((four_fin, window * C)), cspec((k * two_f, C)),
+                cspec((four_fin, C)), cspec((two_f, C))]
+    operands = [xf, db, idx, inte.astype(jnp.float32),
+                d_inte.astype(jnp.float32), d_partial.astype(jnp.float32),
+                d_stats.astype(jnp.float32),
+                wnt, went, cat, amt]
+    out_specs = [tspec((1, _T, C)), bspec((1, N, C)),
+                 cspec((window * C, four_fin)), cspec((C, four_fin)),
+                 cspec((1, four_fin)), cspec((C, two_f)),
+                 cspec((k * C, two_f))]
+    out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+                 jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+                 jax.ShapeDtypeStruct((window * C, four_fin), jnp.float32),
+                 jax.ShapeDtypeStruct((C, four_fin), jnp.float32),
+                 jax.ShapeDtypeStruct((1, four_fin), jnp.float32),
+                 jax.ShapeDtypeStruct((C, two_f), jnp.float32),
+                 jax.ShapeDtypeStruct((k * C, two_f), jnp.float32)]
+    if gated:
+        in_specs += [bspec((1, N, _PROJ)), tspec((1, _T, _PROJ)),
+                     tspec((1, _T, k * _PROJ // 2)),
+                     tspec((1, _T, k * _PROJ // 2)),
+                     cspec((2, k * _PROJ))]
+        operands += [pcat.astype(jnp.float32).astype(_BWD_MM_DTYPE),
+                     ppoint.astype(jnp.float32),
+                     d_wfea.astype(jnp.float32),
+                     d_wxyz.astype(jnp.float32),
+                     d_wstats.astype(jnp.float32)]
+        out_specs += [bspec((1, N, _PROJ)), tspec((1, _T, _PROJ))]
+        out_shape += [jax.ShapeDtypeStruct((B, N, _PROJ), jnp.float32),
+                      jax.ShapeDtypeStruct((B, N, _PROJ), jnp.float32)]
+
+    outs = pl.pallas_call(
+        functools.partial(_head_bwd_kernel, k, window, gated),
+        grid=(B, N // _T),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    dxc, dxn, dwn, dca, dbias, dam, dwen = outs[:7]
+    d_x = (dxc + dxn).astype(dt)
+    d_conv_bias = dbias.reshape(-1)
+    if not gated:
+        return (d_x, dwn, dca, d_conv_bias, dam, dwen, None, None)
+    dpc, dpp = outs[7:]
+    return (d_x, dwn, dca, d_conv_bias, dam, dwen,
+            dpc.astype(pcat.dtype), dpp.astype(ppoint.dtype))
+
+
 def _head_reference_given_idx(x, conv_wn, conv_a, conv_bias, a_merge, wen,
                               pcat, ppoint, idx, k, window):
     """Recompute gathers + conv + partial + stats for a fixed kNN graph —
@@ -339,13 +573,23 @@ def _head_fwd(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
               k, window, interpret):
     out = _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen,
                        pcat, ppoint, k, window, interpret)
-    idx = out[0]
+    idx, inte = out[0], out[1]
     return out, (x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-                 idx)
+                 idx, inte)
 
 
 def _head_bwd(k, window, interpret, res, cts):
-    x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint, idx = res
+    x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint, idx, inte \
+        = res
+    if interpret or head_fusion_ok(x, k):
+        d_inte, d_partial, d_stats = cts[1], cts[2], cts[3]
+        d_wfea = d_wxyz = d_wstats = None
+        if pcat is not None:
+            d_wfea, d_wxyz, d_wstats = cts[4], cts[5], cts[6]
+        return _head_bwd_pallas(
+            x, conv_wn, conv_a, a_merge, wen, pcat, ppoint, idx, inte,
+            d_inte, d_partial, d_stats, d_wfea, d_wxyz, d_wstats,
+            k, window, interpret)
     cts_ref = cts[1:]
     if pcat is None:
         cts_ref = cts_ref[:3]

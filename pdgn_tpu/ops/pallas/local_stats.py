@@ -1,0 +1,286 @@
+"""Fused local mean/covariance Pallas TPU kernels (shape-preserving loss).
+
+The trainer's shape-preserving loss (reference ``get_local_pair`` /
+``compute_mean_covariance``, models/PDGNet_v2.py:127-155) reduces each
+point's 20-NN neighbourhood to its mean and 3x3 covariance. The XLA
+composition (kNN -> (B, M, K, 3) gather -> einsum, scatter-add backward)
+is gather/scatter-bound: across the six resolution pairs of a train step
+it costs tens of milliseconds of pure HBM index traffic.
+
+The key identity: with ``OH`` the (M, N) *summed* one-hot matrix of each
+center's K neighbours, the first and second neighbourhood moments are one
+matmul against a 12-lane payload ``P = [xyz | vec(xyz xyz^T)]``:
+
+    s1 = OH @ xyz          (K * mean)
+    S2 = OH @ vec(outer)   (K * E[y y^T])
+
+and the covariance follows in shifted (catastrophic-cancellation-free)
+form around the center coordinate ``c``:
+
+    cov = (S2 - c s1^T - s1 c^T + K c c^T) / K - (mu - c)(mu - c)^T.
+
+The forward kernel therefore computes distances (fp32-exact direct
+differences, as the CUDA knnquery does), extracts the K nearest with the
+reference's first-min tie-break, accumulates OH on the fly and performs
+the payload matmul — the neighbourhood tensor never exists.
+
+The backward is even better: the cotangent of each neighbour value is an
+*affine function of the neighbour coordinate* with per-center
+coefficients,
+
+    d y_j = alpha_t + G_t y_j,   G = (g_cov + g_cov^T)/K,
+                                 alpha = g_mu/K - G mu,
+
+so the scatter collapses to ``OH^T @ [alpha | G]`` — a transposed one-hot
+matmul accumulated per sample — followed by a tiny per-point contraction
+``d_src = S_alpha + S_G y`` in XLA. No (B, M, K, 3) residuals, no
+scatter-add.
+
+Centers receive no gradient (they only steer the non-differentiated kNN
+graph), matching the autodiff of the gather formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_T = 128  # center rows per grid step
+
+_F32 = dict(preferred_element_type=jnp.float32)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), **_F32)
+
+
+def _dot_t(a, b):
+    """Contract the leading axis: ``(T, N)^T @ (T, F) -> (N, F)``."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())), **_F32)
+
+
+def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
+                idx_ref, mu_ref, cov_ref):
+    T = c_ref.shape[1]
+    N = srct_ref.shape[2]
+
+    d = jnp.zeros((T, N), jnp.float32)
+    for ch in range(3):
+        diff = c_ref[0, :, ch:ch + 1] - srct_ref[0, ch:ch + 1, :]
+        d = d + diff * diff
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    oh = jnp.zeros((T, N), jnp.float32)
+    cols = []
+    for j in range(k):
+        mv = jnp.min(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d <= mv, lane, N), axis=1, keepdims=True)
+        msk = lane == am
+        oh = oh + msk.astype(jnp.float32)
+        cols.append(am)
+        d = jnp.where(msk, jnp.inf, d)
+    idx_ref[0] = jnp.concatenate(cols, axis=-1)
+
+    ohb = oh.astype(jnp.bfloat16)
+    s = _dot(ohb, p_hi_ref[0]) + _dot(ohb, p_lo_ref[0])  # (T, 12) fp32
+    s1 = s[:, 0:3]
+    s2 = s[:, 3:12]                                       # row-major 3x3
+    c = c_ref[0].astype(jnp.float32)                      # (T, 3)
+    kf = float(k)
+    mu = s1 / kf
+    mu_ref[0] = mu
+    # shifted covariance around the center coordinate
+    cs1 = jnp.concatenate([c[:, i:i + 1] * s1 for i in range(3)], axis=-1)
+    s1c = jnp.concatenate([s1[:, i:i + 1] * c for i in range(3)], axis=-1)
+    cc = jnp.concatenate([c[:, i:i + 1] * c for i in range(3)], axis=-1)
+    dmu = mu - c
+    dd = jnp.concatenate([dmu[:, i:i + 1] * dmu for i in range(3)], axis=-1)
+    cov_ref[0] = (s2 - cs1 - s1c + kf * cc) / kf - dd
+
+
+def _bwd_kernel(k: int, c_ref, srct_ref, idx_ref, mu_ref, gmu_ref, gcov_ref,
+                acc_ref):
+    T = c_ref.shape[1]
+    N = srct_ref.shape[2]
+    t = pl.program_id(1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    oh = jnp.zeros((T, N), jnp.float32)
+    for j in range(k):
+        oh = oh + (lane == idx_ref[0][:, j:j + 1]).astype(jnp.float32)
+
+    kf = float(k)
+    g = gcov_ref[0]                                       # (T, 9) row-major
+    # G = (g_cov + g_cov^T) / K, row-major lanes: gt[3i+j] = g[3j+i]
+    gt = jnp.concatenate(
+        [g[:, 3 * j + i:3 * j + i + 1] for i in range(3) for j in range(3)],
+        axis=-1)
+    G = (g + gt) / kf                                     # (T, 9)
+    mu = mu_ref[0]
+    # alpha = g_mu / K - G @ mu (per-row 3x3 times 3)
+    Gmu = jnp.concatenate(
+        [jnp.sum(G[:, 3 * i:3 * i + 3] * mu, axis=1, keepdims=True)
+         for i in range(3)], axis=-1)                     # (T, 3)
+    alpha = gmu_ref[0] / kf - Gmu
+    rows = jnp.concatenate([alpha, G], axis=-1)           # (T, 12)
+
+    @pl.when(t == 0)
+    def _():
+        # zero once per sample (the (1, N, 12) block is revisited across
+        # the t steps of each b and written back when b advances)
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+
+    acc_ref[0] = acc_ref[0] + _dot_t(oh, rows)            # (N, 12)
+
+
+def _payload(src):
+    srcf = src.astype(jnp.float32)
+    outer = (srcf[..., :, None] * srcf[..., None, :]).reshape(
+        src.shape[0], src.shape[1], 9)
+    p = jnp.concatenate([srcf, outer], axis=-1)           # (B, N, 12)
+    hi = jax.lax.optimization_barrier(p.astype(jnp.bfloat16))
+    lo = jax.lax.optimization_barrier(
+        (p - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    return hi, lo
+
+
+def _fwd_pallas(src, centers, k, interpret):
+    B, M, _ = centers.shape
+    N = src.shape[1]
+    cf = centers.astype(jnp.float32)
+    srct = jnp.swapaxes(src.astype(jnp.float32), 1, 2)    # (B, 3, N)
+    p_hi, p_lo = _payload(src)
+
+    def tspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, t, _n=nd: (b,) + (0,) * (_n - 1),
+            memory_space=pltpu.VMEM)
+
+    idx, mu, cov = pl.pallas_call(
+        functools.partial(_fwd_kernel, k),
+        grid=(B, M // _T),
+        in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)),
+                  bspec((1, N, 12)), bspec((1, N, 12))],
+        out_specs=(tspec((1, _T, k)), tspec((1, _T, 3)),
+                   tspec((1, _T, 9))),
+        out_shape=(jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+                   jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((B, M, 9), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cf, srct, p_hi, p_lo)
+    return idx, mu, cov
+
+
+def _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret):
+    B, M, _ = centers.shape
+    N = src.shape[1]
+    cf = centers.astype(jnp.float32)
+    srct = jnp.swapaxes(src.astype(jnp.float32), 1, 2)
+
+    def tspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, t, _n=nd: (b,) + (0,) * (_n - 1),
+            memory_space=pltpu.VMEM)
+
+    acc = pl.pallas_call(
+        functools.partial(_bwd_kernel, k),
+        grid=(B, M // _T),
+        in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)), tspec((1, _T, k)),
+                  tspec((1, _T, 3)), tspec((1, _T, 3)), tspec((1, _T, 9))],
+        out_specs=bspec((1, N, 12)),
+        out_shape=jax.ShapeDtypeStruct((B, N, 12), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cf, srct, idx, mu, g_mu.astype(jnp.float32),
+      g_cov.astype(jnp.float32))
+    s_alpha = acc[..., 0:3]
+    s_g = acc[..., 3:12].reshape(B, N, 3, 3)
+    srcf = src.astype(jnp.float32)
+    d_src = s_alpha + jnp.einsum("bnij,bnj->bni", s_g, srcf)
+    return d_src.astype(src.dtype)
+
+
+def _reference(src, centers, k):
+    """jnp composition (kNN + gather + moments) — non-TPU fallback."""
+    from pdgn_tpu.losses.shape_preserving import compute_mean_covariance
+    from pdgn_tpu.ops.grouping import group_xyz
+
+    grouped = group_xyz(src, centers, nsample=k)          # (B, M, K, 3)
+    mu, cov = compute_mean_covariance(grouped)
+    B, M = mu.shape[:2]
+    return mu, cov.reshape(B, M, 9)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused(src, centers, k, interpret):
+    _, mu, cov = _fwd_pallas(src, centers, k, interpret)
+    return mu, cov
+
+
+def _fused_fwd(src, centers, k, interpret):
+    idx, mu, cov = _fwd_pallas(src, centers, k, interpret)
+    return (mu, cov), (src, centers, idx, mu)
+
+
+def _fused_bwd(k, interpret, res, cts):
+    src, centers, idx, mu = res
+    g_mu, g_cov = cts
+    d_src = _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret)
+    # centers only steer the (non-differentiated) kNN graph
+    return d_src, jnp.zeros_like(centers)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def local_stats_ok(src, centers, k: int) -> bool:
+    import os
+
+    if os.environ.get("PDGN_DISABLE_PALLAS"):
+        return False
+    if centers.shape[1] % _T or src.shape[1] > 0x10000:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def local_mean_cov(src: jnp.ndarray, centers: jnp.ndarray, k: int = 20, *,
+                   interpret: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean and covariance of each center's k-NN neighbourhood in ``src``.
+
+    Args:
+      src: ``(B, N, 3)`` neighbour source cloud.
+      centers: ``(B, M, 3)`` query centers (kNN *includes* the query point
+        when ``src is centers`` — reference knnquery semantics).
+      k: neighbourhood size.
+
+    Returns:
+      ``mu (B, M, 3)`` and ``cov (B, M, 9)`` fp32 (reference 1/K biased
+      normalisation).
+    """
+    if local_stats_ok(src, centers, k) or interpret:
+        return _fused(src, centers, k, interpret)
+    return _reference(src, centers, k)
