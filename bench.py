@@ -86,7 +86,7 @@ def bench_train_step(batch: int = 35, iters: int = 10) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def bench_eval_pairs(tile: int = 32, reps: int = 4) -> float:
+def bench_eval_pairs(tile: int = 64, reps: int = 4) -> float:
     """CD+EMD pair throughput on 2048-pt clouds (pairs/sec).
 
     Uses the same implementation pairwise_cd_emd would select in

@@ -66,19 +66,11 @@ def _select_impl(n: int, m: int, with_emd: bool) -> str:
     return "xla"
 
 
-@functools.partial(jax.jit, static_argnames=("with_emd", "impl"))
-def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
-               with_emd: bool = True,
-               impl: str = "exact") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """All-pairs CD (and EMD) between two tiles of clouds.
-
-    Args:
-      sample_tile: ``(S, N, 3)``.
-      ref_tile: ``(R, N, 3)``.
-
-    Returns:
-      ``cd (S, R)`` and ``emd (S, R)`` (zeros when ``with_emd=False``).
-    """
+def _pair_tile_impl(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
+                    with_emd: bool, impl: str
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Traceable all-pairs core shared by the jitted single-device tile
+    program and the shard_map per-device body."""
     S, N, _ = sample_tile.shape
     R = ref_tile.shape[0]
     a = jnp.broadcast_to(sample_tile[:, None], (S, R, N, 3)).reshape(S * R, N, 3)
@@ -105,6 +97,93 @@ def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
     return cd, emd
 
 
+@functools.partial(jax.jit, static_argnames=("with_emd", "impl"))
+def _pair_tile(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
+               with_emd: bool = True,
+               impl: str = "exact") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pairs CD (and EMD) between two tiles of clouds.
+
+    Args:
+      sample_tile: ``(S, N, 3)``.
+      ref_tile: ``(R, N, 3)``.
+
+    Returns:
+      ``cd (S, R)`` and ``emd (S, R)`` (zeros when ``with_emd=False``).
+    """
+    return _pair_tile_impl(sample_tile, ref_tile, with_emd, impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pair_rows(mesh, with_emd: bool, impl: str, tile: int):
+    """Build the jitted shard_map program computing one row block.
+
+    Each device holds ``tile`` sample clouds (batch axis sharded over the
+    mesh's data axis) and the full replicated reference set; it streams
+    its (tile, R) strip through ``lax.map`` over reference tiles — the
+    (N_s, N_r) pairwise matrix distributed exactly as SURVEY.md's
+    "embarrassingly shardable across chips" design note calls for.
+    """
+    from pdgn_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    def body(s_loc, ref_all):
+        R = ref_all.shape[0]
+        ref_tiles = ref_all.reshape(R // tile, tile, *ref_all.shape[1:])
+
+        def one(rt):
+            return _pair_tile_impl(s_loc, rt, with_emd, impl)
+
+        cd, emd = jax.lax.map(one, ref_tiles)      # (nc, tile, tile)
+        perm = (1, 0, 2)
+        return (cd.transpose(perm).reshape(tile, R),
+                emd.transpose(perm).reshape(tile, R))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        # the approxmatch fori_loop seeds its carry with replicated
+        # zeros, which the varying-manual-axes checker rejects against
+        # the device-varying body output; the body is embarrassingly
+        # parallel (no collectives), so the check adds nothing here
+        check_vma=False))
+
+
+def _pairwise_sharded(mesh, sp, rp, Ns, Nr, tile, with_emd, impl, verbose):
+    """Row-block distribution of the pairwise matrices over a mesh."""
+    n_dev = mesh.devices.size
+    block = tile * n_dev
+
+    def pad(x, t):
+        b = x.shape[0]
+        rem = (-b) % t
+        if rem:
+            x = jnp.concatenate([x, jnp.zeros((rem,) + x.shape[1:], x.dtype)])
+        return x
+
+    sp = pad(sp, block)
+    rp = pad(rp, tile)
+    from pdgn_tpu.parallel.mesh import batch_sharding, replicated
+
+    rp = jax.device_put(rp, replicated(mesh))
+    f = _sharded_pair_rows(mesh, with_emd, impl, tile)
+    cd_rows = []
+    emd_rows = []
+    n_row = sp.shape[0] // block
+    for i in range(n_row):
+        srow = jax.device_put(
+            jax.lax.dynamic_slice_in_dim(sp, i * block, block),
+            batch_sharding(mesh))
+        c, e = f(srow, rp)
+        cd_rows.append(c)
+        emd_rows.append(e)
+        if verbose:
+            print(f"pairwise sharded row block {i + 1}/{n_row}", flush=True)
+    cd = np.concatenate([np.asarray(c) for c in cd_rows])
+    emd = np.concatenate([np.asarray(e) for e in emd_rows])
+    return cd[:Ns, :Nr], emd[:Ns, :Nr]
+
+
 def pairwise_cd_emd(
     sample_pcs,
     ref_pcs,
@@ -112,6 +191,7 @@ def pairwise_cd_emd(
     with_emd: bool = True,
     verbose: bool = False,
     symmetric: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full (N_sample, N_ref) CD and EMD matrices, tiled on device.
 
@@ -124,11 +204,21 @@ def pairwise_cd_emd(
     matrices) computes one triangle and mirrors it. CD is exactly
     symmetric; approxmatch EMD is asymmetric at the ~0.1% level, so this
     is an opt-in speedup, not the reference-parity default.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis. When it
+    has more than one device, row blocks of the sample axis are
+    distributed across the mesh (each device computes its (tile, N_ref)
+    strip against the replicated reference set) — per-tile numerics are
+    identical to the single-device path.
     """
     sample_pcs = jnp.asarray(sample_pcs, jnp.float32)
     ref_pcs = jnp.asarray(ref_pcs, jnp.float32)
     Ns, N, _ = sample_pcs.shape
     Nr = ref_pcs.shape[0]
+    impl0 = _select_impl(N, int(ref_pcs.shape[1]), with_emd)
+    if mesh is not None and mesh.devices.size > 1 and not symmetric:
+        return _pairwise_sharded(mesh, sample_pcs, ref_pcs, Ns, Nr, tile,
+                                 with_emd, impl0, verbose)
 
     def pad(x, t):
         b = x.shape[0]
@@ -139,7 +229,7 @@ def pairwise_cd_emd(
 
     sp = pad(sample_pcs, tile)
     rp = pad(ref_pcs, tile)
-    impl = _select_impl(N, int(ref_pcs.shape[1]), with_emd)
+    impl = impl0
     cd = np.zeros((sp.shape[0], rp.shape[0]), np.float32)
     emd = np.zeros_like(cd)
     n_row = sp.shape[0] // tile
@@ -243,17 +333,20 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int,
 
 def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
                         tile: int = 8, verbose: bool = False,
-                        fast_symmetric: bool = False) -> Dict[str, float]:
+                        fast_symmetric: bool = False,
+                        mesh=None) -> Dict[str, float]:
     """The full suite (reference ``compute_all_metrics``, :172-200).
 
     ``batch_size`` is accepted for API parity; tiling replaces it.
     ``fast_symmetric`` mirrors the within-set (rr/ss) matrices from one
     triangle — ~1.5x faster overall, perturbs 1-NNA by ~0.1% (EMD is not
     exactly symmetric); off by default for reference parity.
+    ``mesh`` distributes every pairwise matrix across its devices (see
+    :func:`pairwise_cd_emd`).
     """
     results: Dict[str, float] = {}
     M_rs_cd, M_rs_emd = pairwise_cd_emd(sample_pcs, ref_pcs, tile=tile,
-                                        verbose=verbose)
+                                        verbose=verbose, mesh=mesh)
 
     for name, M in (("CD", M_rs_cd), ("EMD", M_rs_emd)):
         res = lgan_mmd_cov(M.T)
@@ -261,10 +354,10 @@ def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
 
     M_rr_cd, M_rr_emd = pairwise_cd_emd(ref_pcs, ref_pcs, tile=tile,
                                         verbose=verbose,
-                                        symmetric=fast_symmetric)
+                                        symmetric=fast_symmetric, mesh=mesh)
     M_ss_cd, M_ss_emd = pairwise_cd_emd(sample_pcs, sample_pcs, tile=tile,
                                         verbose=verbose,
-                                        symmetric=fast_symmetric)
+                                        symmetric=fast_symmetric, mesh=mesh)
 
     one_nn_cd = knn_classifier(M_rr_cd, M_rs_cd, M_ss_cd, 1, sqrt=False)
     results.update({f"1-NN-CD-{k}": v for k, v in one_nn_cd.items()

@@ -5,8 +5,8 @@ kernel/distance matrix is never materialised in HBM — distance tiles are
 recomputed from the (3, n) coordinate blocks on the MXU, the nine
 approxmatch balancing rounds (reference approxmatch.cu:3-182; see
 pdgn_tpu.losses.emd for the algorithm) run as MXU matvecs against column
-vectors, and the Chamfer row/column minima fall out of round 0's tiles for
-free.
+vectors, and the Chamfer row/column minima fall out of the distance
+prologue for free.
 
 HBM traffic per pair: ~50 KB (coordinates + two scalars) versus the
 reference's ~0.6 GB (match-matrix reads/writes per kernel launch) — this
@@ -16,9 +16,20 @@ Design (as measured; see PERF.md for the optimization log):
 * distance tiles come from direct per-channel broadcast differences
   (coordinates are passed in both ``(B, n, 3)`` and ``(B, 3, n)``
   layouts) — fp32-exact and far cheaper than a 3-deep MXU contraction;
-* euclidean distances are computed once (round 0) into an fp32 VMEM
-  cache; each round's kernel matrix K = exp(level * d2) is computed once
-  into a second fp32 VMEM cache and reused by all three passes;
+* euclidean distances are computed once (prologue) into an fp32 VMEM
+  cache shared by every round;
+* **exponent chaining**: the round levels shrink by exactly 4x
+  (level_r = -4^(7-r), approxmatch.cu:24), so within each group of three
+  rounds K_r = B^16, B^4, B — one full-matrix ``exp`` per THREE rounds
+  (B = exp(level_{r+2} d^2), cached in VMEM), the rest are squarings.
+  9 transcendental passes become 3 plus 18 multiplies; fp32 squaring
+  underflows exactly where the true exp does;
+* **single-sweep rounds**: each round makes ONE pass over the K cache.
+  The previous round's transport/cost pass (pass 3) runs at the head of
+  the next round's row-tile sweep against the still-cached K, and the
+  right-absorption column sums (pass 2) accumulate into a (1, m) row
+  during the same sweep — no transposed K reads at all. Pass 2's vector
+  arithmetic then runs on that row between sweeps;
 * remainL/ratioL are column vectors, remainR/ratioR are row vectors, so
   every contraction is a VPU broadcast + lane/sublane reduction — a
   1-column MXU matvec would idle 127/128 of the systolic array.
@@ -36,10 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROUNDS = 9        # j = 7 .. -1, level = -4^j
 _TILE = 512        # preferred row-tile size (256 fallback)
+
+
 def _kernel(tile, x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             cost_ref, cd_ref,
-            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc, kbuf,
-            dbuf):
+            remainL, remainR, ratioL, ratioR, rowmin, colmin, acc,
+            dbuf, kbase, colacc):
     _TILE = tile
     n = x1c_ref.shape[1]
     m = x2c_ref.shape[1]
@@ -75,80 +88,96 @@ def _kernel(tile, x1c_ref, x2c_ref, x1r_ref, x2r_ref,
             d = d + diff * diff
         return d
 
-    def row_reduce(w, v_row):
-        """sum(w * v_row, axis=1): a (T, m) x (1, m) contraction on the
-        VPU — a 1-column MXU matvec would idle 127/128 of the array."""
-        return jnp.sum(w * v_row, axis=1, keepdims=True)      # (T, 1)
-
-    def round_body(r, _):
-        level = -jnp.exp2(14.0 - 2.0 * r.astype(jnp.float32))
-
-        # ---- pass 1: ratioL = remainL / (K @ remainR + 1e-9); the kernel
-        # matrix is computed ONCE per round here and cached in VMEM as
-        # bf16 for passes 2 and 3 (the XLA path recomputes the exp; the
-        # exps are a large share of the VPU work)
-        def p1(t, _):
-            sl = pl.ds(t * _TILE, _TILE)
-
-            @pl.when(r == 0)
-            def _():
-                # distances don't change across rounds: compute once,
-                # cache the euclidean form for the cost pass
-                d2 = d2_row_tile(t)
-                dbuf[sl, :] = jnp.sqrt(jnp.maximum(d2, 0.0))
-                rowmin[sl, :] = jnp.min(d2, axis=1, keepdims=True)
-
-            dist = dbuf[sl, :]
-            # NOTE: the VPU's native exp beats the polynomial fast-exp
-            # here too (3,580 vs 2,560 pairs/s measured) — the
-            # transcendental unit is genuinely fast; see the unused
-            # _fast_exp_neg in pdgn_tpu/losses/emd.py for the record.
-            k = jnp.exp(level * (dist * dist))
-            kbuf[sl, :] = k
-            suml = row_reduce(k, remainR[:, :])               # (T, 1)
-            ratioL[sl, :] = remainL[sl, :] / (suml + 1e-9)
-            return 0
-
-        jax.lax.fori_loop(0, nt, p1, 0)
-
-        # ---- pass 2: right absorption (transposed reads of the K cache;
-        # the contraction over n runs as a sublane reduction)
-        def p2(t, _):
-            sl = pl.ds(t * _TILE, _TILE)
-            kc = kbuf[:, sl]                                  # (n, T)
-            sumr = jnp.sum(kc * ratioL[:, :], axis=0,
-                           keepdims=True)                     # (1, T)
-            rr = remainR[0:1, sl]                             # (1, T)
-            sumr = sumr * rr
-            consumption = jnp.minimum(rr / (sumr + 1e-9), 1.0)
-            ratioR[0:1, sl] = consumption * rr
-            remainR[0:1, sl] = jnp.maximum(0.0, rr - sumr)
-
-            @pl.when(r == 0)
-            def _():
-                colmin[sl, :] = jnp.min(d2_col_tile(t), axis=1,
-                                        keepdims=True)
-
-            return 0
-
-        jax.lax.fori_loop(0, mt, p2, 0)
-
-        # ---- pass 3: transport increment -> cost, remainL update
-        def p3(t, carry):
-            sl = pl.ds(t * _TILE, _TILE)
-            k = kbuf[sl, :]                                    # (T, m)
-            kr = k * ratioR[:, :]                              # (T, m)
-            rl = ratioL[sl, :]                                 # (T, 1)
-            suml2 = rl * jnp.sum(kr, axis=1, keepdims=True)
-            remainL[sl, :] = jnp.maximum(0.0, remainL[sl, :] - suml2)
-            contrib = rl * jnp.sum(kr * dbuf[sl, :], axis=1, keepdims=True)
-            return carry + jnp.sum(contrib)
-
-        round_cost = jax.lax.fori_loop(0, nt, p3, jnp.float32(0.0))
-        acc[0, 0] = acc[0, 0] + round_cost
+    # ---- prologue: distance cache + both Chamfer minima
+    def pro_row(t, _):
+        sl = pl.ds(t * _TILE, _TILE)
+        d2 = d2_row_tile(t)
+        dbuf[sl, :] = jnp.sqrt(jnp.maximum(d2, 0.0))
+        rowmin[sl, :] = jnp.min(d2, axis=1, keepdims=True)
         return 0
 
-    jax.lax.fori_loop(0, _ROUNDS, round_body, 0)
+    jax.lax.fori_loop(0, nt, pro_row, 0)
+
+    def pro_col(t, _):
+        sl = pl.ds(t * _TILE, _TILE)
+        colmin[sl, :] = jnp.min(d2_col_tile(t), axis=1, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, mt, pro_col, 0)
+
+    def pow4(b, p):
+        """B^16 / B^4 / B for schedule position p — fp32 squarings
+        underflow exactly where the direct exp would."""
+        if p == 0:
+            b2 = b * b
+            b4 = b2 * b2
+            b8 = b4 * b4
+            return b8 * b8
+        if p == 1:
+            b2 = b * b
+            return b2 * b2
+        return b
+
+    def transport(ko, d, sl):
+        """Previous round's pass 3 on its (recomputed) K tile: transport
+        decrement of remainL and the cost contribution."""
+        kr = ko * ratioR[:, :]                             # (T, m)
+        rl = ratioL[sl, :]                                 # (T, 1)
+        remainL[sl, :] = jnp.maximum(
+            0.0, remainL[sl, :] - rl * jnp.sum(kr, axis=1, keepdims=True))
+        acc[0, 0] = acc[0, 0] + jnp.sum(
+            rl * jnp.sum(kr * d, axis=1, keepdims=True))
+
+    # ---- nine balancing rounds, statically unrolled (levels and the
+    # exp/squaring schedule are compile-time constants). Every round makes
+    # ONE sweep reading only the base cache and the distance cache: the
+    # round's K and the previous round's K are both cheap powers of the
+    # group base, so neither is ever stored.
+    for r in range(_ROUNDS):
+        p = r % 3
+        base_level = -(4.0 ** (5 - 3 * (r // 3)))          # level of r|p==2
+
+        colacc[:, :] = jnp.zeros((1, m), jnp.float32)
+
+        def body(t, _, r=r, p=p, base_level=base_level):
+            sl = pl.ds(t * _TILE, _TILE)
+            d = dbuf[sl, :]
+            if r > 0:
+                # finish round r-1 from the still-cached group base
+                b_old = kbase[sl, :]
+                transport(pow4(b_old, (r - 1) % 3), d, sl)
+            if p == 0:
+                # NOTE: the VPU's native exp beats the polynomial
+                # fast-exp (3,580 vs 2,560 pairs/s measured); see the
+                # unused _fast_exp_neg in pdgn_tpu/losses/emd.py.
+                b = jnp.exp(base_level * (d * d))
+                kbase[sl, :] = b
+            else:
+                b = kbase[sl, :]
+            k = pow4(b, p)
+            suml = jnp.sum(k * remainR[:, :], axis=1, keepdims=True)
+            ratioL[sl, :] = remainL[sl, :] / (suml + 1e-9)
+            colacc[:, :] = colacc[:, :] + jnp.sum(
+                k * ratioL[sl, :], axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+        # right absorption (reference pass 2) — pure row-vector math, the
+        # K-weighted column sums were accumulated during the sweep
+        rr = remainR[:, :]
+        sumr = colacc[:, :] * rr
+        consumption = jnp.minimum(rr / (sumr + 1e-9), 1.0)
+        ratioR[:, :] = consumption * rr
+        remainR[:, :] = jnp.maximum(0.0, rr - sumr)
+
+    # ---- epilogue: the last round's transport/cost pass
+    def fin(t, _):
+        sl = pl.ds(t * _TILE, _TILE)
+        transport(kbase[sl, :], dbuf[sl, :], sl)           # round 8: p == 2
+        return 0
+
+    jax.lax.fori_loop(0, nt, fin, 0)
 
     cost_ref[0, 0, 0] = acc[0, 0]
     cd_ref[0, 0, 0] = (jnp.sum(rowmin[:, :]) / n + jnp.sum(colmin[:, :]) / m)
@@ -214,18 +243,19 @@ def fused_cd_emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, *,
             pltpu.VMEM((n, 1), jnp.float32),   # rowmin
             pltpu.VMEM((m, 1), jnp.float32),   # colmin
             pltpu.SMEM((1, 1), jnp.float32),   # cost accumulator
-            pltpu.VMEM((n, m), jnp.float32),   # per-round K cache
             pltpu.VMEM((n, m), jnp.float32),   # euclidean distance cache
+            pltpu.VMEM((n, m), jnp.float32),   # group exp base B
+            pltpu.VMEM((1, m), jnp.float32),   # pass-2 column sums
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            # ~23 VPU ops per element-round (distances cached; exp once
-            # per round; three reduce passes)
-            flops=int(B) * _ROUNDS * 23 * n * m,
+            # ~25 VPU ops per element-round (distances cached; one exp
+            # per three rounds; single fused sweep per round)
+            flops=int(B) * _ROUNDS * 25 * n * m,
             bytes_accessed=int(B) * (n + m) * 4 * 8,
-            transcendentals=int(B) * (_ROUNDS + 1) * n * m,
+            transcendentals=int(B) * (_ROUNDS // 3 + 1) * n * m,
         ),
         interpret=interpret,
     )(x1f, x2f, x1t, x2t)

@@ -286,7 +286,7 @@ class PDGNTrainer:
         return self._sampler(self.state.g.params, self.state.g.batch_stats,
                              rng, batch_size=batch_size)
 
-    def test(self, tile: int = 32) -> dict:
+    def test(self, tile: int = 64) -> dict:
         """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
         from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
 
@@ -324,8 +324,11 @@ class PDGNTrainer:
         logger.info("Saving point clouds...")
         np.save(os.path.join(save_dir, "out.npy"), gen_pcs)
 
+        # distribute the pairwise matrices over the trainer's mesh when
+        # more than one chip is attached (single-chip: plain tiled path)
+        eval_mesh = self.mesh if self.mesh.devices.size > 1 else None
         results = compute_all_metrics(gen_pcs, ref_pcs, cfg.batch_size,
-                                      tile=tile)
+                                      tile=tile, mesh=eval_mesh)
         results["jsd"] = jsd_between_point_cloud_sets(gen_pcs, ref_pcs)
         for k, v in results.items():
             logger.info("%s: %.12f" % (k, v))

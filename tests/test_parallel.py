@@ -121,3 +121,70 @@ def test_sharded_eval_matches_single_device(mesh, rng):
         cd2, emd2 = pairwise_cd_emd(sample_s, ref_s, tile=4)
     np.testing.assert_allclose(cd1, cd2, atol=1e-5)
     np.testing.assert_allclose(emd1, emd2, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step_matches_single(tmp_path):
+    """Two gloo-connected CPU processes (2 virtual devices each) run one
+    GAN train step over the 4-device global mesh via initialize_distributed
+    + local_batch_slice; metrics must equal the single-process 4-device
+    run of the same global batch."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/pdgn_tpu_jax_cache",
+    })
+    env2 = dict(env)
+    env.update({"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    env2.update({"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+
+    out0 = tmp_path / "dist.json"
+    out1 = tmp_path / "single.json"
+    port = "29531"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--process-id", str(i), "--port", port,
+             "--out", str(out0)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    rc = [p.wait(timeout=1200) for p in procs]
+    logs = b"\n".join(p.stdout.read() for p in procs).decode(
+        errors="replace")
+    assert rc == [0, 0], logs[-4000:]
+
+    single = subprocess.run(
+        [sys.executable, worker, "--out", str(out1)],
+        env=env2, capture_output=True, timeout=1200)
+    assert single.returncode == 0, single.stdout[-4000:]
+
+    import json
+
+    dist = json.loads(out0.read_text())
+    ref = json.loads(out1.read_text())
+    assert set(dist) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(dist[k], ref[k], rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
+
+
+def test_mesh_distributed_eval_matches_single_device(mesh, rng):
+    """The row-block shard_map path must reproduce the single-device
+    matrices bit-for-tolerance, including ragged sample counts that need
+    block padding."""
+    from pdgn_tpu.eval import pairwise_cd_emd
+
+    # 13 samples: not a multiple of tile * n_devices -> exercises padding
+    sample = rng.randn(13, 32, 3).astype(np.float32)
+    ref = rng.randn(9, 32, 3).astype(np.float32)
+    cd1, emd1 = pairwise_cd_emd(sample, ref, tile=2)
+    cd2, emd2 = pairwise_cd_emd(sample, ref, tile=2, mesh=mesh)
+    assert cd2.shape == (13, 9)
+    np.testing.assert_allclose(cd1, cd2, atol=1e-5)
+    np.testing.assert_allclose(emd1, emd2, rtol=1e-4, atol=1e-5)
