@@ -20,11 +20,13 @@ import jax.numpy as jnp
 from pdgn_tpu.ops.pairwise import pairwise_sqdist
 
 
-def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
+def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray,
+                 mask=None) -> jnp.ndarray:
     """Sum-reduced symmetric Chamfer distance.
 
     Matches reference ``ChamferLoss.forward`` exactly: squared distances,
     summed (not averaged) over batch and points in both directions.
+    ``mask`` (B,) zeroes padded samples out of the batch sum.
 
     Args:
       preds: ``(B, N_p, C)``.
@@ -34,9 +36,12 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
       scalar.
     """
     P = pairwise_sqdist(gts, preds)                      # (B, N_g, N_p)
-    loss_1 = jnp.sum(jnp.min(P, axis=1))                 # per-pred mins
-    loss_2 = jnp.sum(jnp.min(P, axis=2))                 # per-gt mins
-    return loss_1 + loss_2
+    loss_1 = jnp.sum(jnp.min(P, axis=1), axis=-1)        # per-pred mins
+    loss_2 = jnp.sum(jnp.min(P, axis=2), axis=-1)        # per-gt mins
+    per_sample = loss_1 + loss_2                         # (B,)
+    if mask is not None:
+        per_sample = per_sample * mask.astype(per_sample.dtype)
+    return jnp.sum(per_sample)
 
 
 def dist_chamfer(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

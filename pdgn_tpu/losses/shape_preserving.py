@@ -54,6 +54,7 @@ def get_local_pair(
     pt1: jnp.ndarray,
     pt2: jnp.ndarray,
     nsample: int = 20,
+    mask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Local-statistics Chamfer pair for two resolutions of one shape.
 
@@ -74,8 +75,8 @@ def get_local_pair(
     M = pt1.shape[1]
     mu1, cov1 = local_mean_cov(pt1, pt1, nsample)    # (B,M,3), (B,M,9)
     mu2, cov2 = local_mean_cov(pt2, pt1, nsample)
-    like_mu = chamfer_loss(mu1, mu2) / float(M)
-    like_cov = chamfer_loss(cov1, cov2) / float(M)
+    like_mu = chamfer_loss(mu1, mu2, mask) / float(M)
+    like_cov = chamfer_loss(cov1, cov2, mask) / float(M)
     return like_mu, like_cov
 
 
@@ -84,6 +85,7 @@ def shape_preserving_loss(
     nsample: int = 20,
     mu_weight: float = 1.0,
     cov_weight: float = 1.0,
+    mask=None,
 ) -> jnp.ndarray:
     """Sum of local-statistics losses over all resolution pairs.
 
@@ -96,7 +98,8 @@ def shape_preserving_loss(
     cov_total = 0.0
     for i in range(len(clouds)):
         for j in range(i + 1, len(clouds)):
-            like_mu, like_cov = get_local_pair(clouds[i], clouds[j], nsample)
+            like_mu, like_cov = get_local_pair(clouds[i], clouds[j], nsample,
+                                               mask=mask)
             mu_total = mu_total + like_mu
             cov_total = cov_total + like_cov
     return mu_weight * mu_total + cov_weight * cov_total

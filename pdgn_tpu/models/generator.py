@@ -44,7 +44,9 @@ from pdgn_tpu.models.layers import (
     BatchNormFold,
     MLP,
     TorchDense,
+    current_batch_mask,
     leaky_relu,
+    masked_moments,
     torch_bias_uniform,
     torch_kaiming_uniform,
 )
@@ -77,11 +79,24 @@ def _linear_bn_stats(h, kernel, bias, axis_name):
     ``S = E[h h^T]`` — a (H, H) second-moment contraction over the (tiny)
     hidden width instead of a full-tensor stats pass over the (huge)
     output. This is what lets the fused tail kernel keep the
-    (B, N, k, 2Fin) gate tensor out of HBM entirely.
+    (B, N, k, 2Fin) gate tensor out of HBM entirely. Under a batch mask
+    (padded batch) the moments weight each sample's rows by its mask.
     """
-    hf = h.astype(jnp.float32).reshape(-1, h.shape[-1])
-    m_rows = hf.shape[0]
-    m_h = jnp.mean(hf, axis=0)                               # (H,)
+    mask = current_batch_mask()
+    rows_per_sample = 1
+    for d in h.shape[1:-1]:
+        rows_per_sample *= d
+    if mask is None:
+        hf = h.astype(jnp.float32).reshape(-1, h.shape[-1])
+        m_rows = float(hf.shape[0])
+    else:
+        w = mask.astype(jnp.float32)
+        hf = h.astype(jnp.float32).reshape(h.shape[0], -1, h.shape[-1])
+        # weighted rows: a binary mask makes w^2 == w, so the plain
+        # second-moment matmul of the pre-scaled rows is the weighted one
+        hf = (hf * w[:, None, None]).reshape(-1, h.shape[-1])
+        m_rows = jnp.sum(w) * float(rows_per_sample)
+    m_h = jnp.sum(hf, axis=0) / m_rows                       # (H,)
     s_mat = jnp.matmul(hf.T, hf, precision=jax.lax.Precision.HIGHEST,
                        **_MMF32) / m_rows                    # (H, H)
     if axis_name is not None:
@@ -361,6 +376,12 @@ class UpsampleEdgeConv(nn.Module):
         # in HBM.
         idx, inte_raw, partial, (i_mean, i_var) = edge_conv_head(
             x, conv_kernel, conv_bias, merge_kernel, self.k)[:4]
+        mask = current_batch_mask()
+        if mask is not None:
+            # padded batch: the kernel's stats accumulate over every row;
+            # recompute them mask-weighted from the saved conv output
+            i_mean, i_var = masked_moments(
+                inte_raw.reshape(B, -1, four_fin), mask)
         i_mean, i_var = _sync_stats(i_mean, i_var, self.axis_name)
         _, _, i_stats = wcv(i_mean, i_var)
         y = edge_conv_tail(partial, inte_raw, None, i_stats, None, None,
@@ -434,6 +455,14 @@ class BilateralUpsampleEdgeConv(nn.Module):
         (idx, inte_raw, partial, (i_mean, i_var),
          wfea, wxyz, fea_stats, xyz_stats) = edge_conv_head(
             x, conv_kernel, conv_bias, merge_kernel, self.k, pcat, ppoint)
+        mask = current_batch_mask()
+        if mask is not None:
+            # padded batch: recompute every kernel-accumulated statistic
+            # mask-weighted from the saved lane-flat outputs
+            i_mean, i_var = masked_moments(
+                inte_raw.reshape(B, -1, four_fin), mask)
+            fea_stats = masked_moments(wfea.reshape(B, -1, 16), mask)
+            xyz_stats = masked_moments(wxyz.reshape(B, -1, 16), mask)
         i_mean, i_var = _sync_stats(i_mean, i_var, self.axis_name)
         _, _, i_stats = wcv(i_mean, i_var)
 

@@ -20,6 +20,7 @@ TPU equivalent of the vendored-but-unused lib/sync_bn (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -27,6 +28,57 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# ---------------------------------------------------------------- batch mask
+# Per-sample weights for batch statistics and loss reductions. When the
+# global batch is padded up to a device-count multiple (parallel/mesh
+# padding instead of mesh shrinking), every BatchNorm in scope computes
+# mask-weighted statistics so the padded rows are invisible — metrics are
+# bit-comparable to the unpadded run. The mask is delivered through a
+# trace-time context (set by the train step around its whole trace)
+# rather than threaded through every module signature.
+_MASK_STACK: list = []
+
+
+@contextlib.contextmanager
+def batch_mask(mask: Optional[jnp.ndarray]):
+    """Scope a per-sample ``(B,)`` weight vector over traced model calls.
+
+    ``None`` is a no-op scope (convenient for call sites that may or may
+    not have padding).
+    """
+    if mask is None:
+        yield
+        return
+    _MASK_STACK.append(mask)
+    try:
+        yield
+    finally:
+        _MASK_STACK.pop()
+
+
+def current_batch_mask() -> Optional[jnp.ndarray]:
+    return _MASK_STACK[-1] if _MASK_STACK else None
+
+
+def masked_moments(x: jnp.ndarray, mask: jnp.ndarray, axes=None):
+    """Mask-weighted per-feature (last-axis) mean and biased variance.
+
+    ``axes`` defaults to all axes but the last; axis 0 must be the batch.
+    """
+    xf = x.astype(jnp.float32)
+    if axes is None:
+        axes = tuple(range(x.ndim - 1))
+    w = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    per_sample = 1.0
+    for a in axes:
+        if a != 0:
+            per_sample *= x.shape[a]
+    denom = jnp.sum(mask.astype(jnp.float32)) * per_sample
+    mean = jnp.sum(xf * w, axis=axes) / denom
+    mean2 = jnp.sum(jnp.square(xf) * w, axis=axes) / denom
+    var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+    return mean, var
 
 
 def torch_kaiming_uniform(fan_in_axes: Optional[Sequence[int]] = None):
@@ -93,14 +145,30 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
-            use_running_average=False,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        mask = current_batch_mask()
+        if mask is None:
+            return nn.BatchNorm(
+                use_running_average=False,
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        # masked path (padded batch): weighted statistics over the real
+        # rows only, same variable tree as nn.BatchNorm(name="bn")
+        if self.axis_name is not None:
+            raise NotImplementedError(
+                "masked BatchNorm under an explicit axis_name; the jit "
+                "data-parallel path computes global stats without one")
+        mean, var = masked_moments(x, mask)
+        scale, bias = _BNStatsVars(momentum=self.momentum, name="bn")(
+            mean, var)
+        y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias)
+        out_dt = self.dtype if self.dtype is not None else jnp.promote_types(
+            x.dtype, jnp.float32)
+        return y.astype(out_dt)
 
 
 class _BNStatsVars(nn.Module):

@@ -33,6 +33,7 @@ import optax
 
 from pdgn_tpu.losses.gan import g_adv_loss, mse_loss
 from pdgn_tpu.losses.shape_preserving import get_local_pair
+from pdgn_tpu.models.layers import batch_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,13 +142,13 @@ def make_train_step(
         )
         return outs, upd["batch_stats"]
 
-    def d_update(i, d_state: NetState, real, fake):
+    def d_update(i, d_state: NetState, real, fake, mask):
         def loss_fn(params, stats):
             pred_real, stats = disc_apply(i, params, stats, real)
             pred_fake, stats = disc_apply(i, params, stats, fake)
             loss = (
-                mse_loss(pred_real, jnp.ones_like(pred_real))
-                + mse_loss(pred_fake, jnp.zeros_like(pred_fake))
+                mse_loss(pred_real, jnp.ones_like(pred_real), mask)
+                + mse_loss(pred_fake, jnp.zeros_like(pred_fake), mask)
             ) / 2.0
             return loss, stats
 
@@ -158,7 +159,7 @@ def make_train_step(
         new_params = optax.apply_updates(d_state.params, updates)
         return NetState(new_params, new_stats, new_opt), loss
 
-    def g_update(g_state: NetState, d_states, z):
+    def g_update(g_state: NetState, d_states, z, mask):
         def loss_fn(g_params):
             fakes, g_stats = gen_apply(g_params, g_state.batch_stats, z)
 
@@ -167,7 +168,8 @@ def make_train_step(
             for a in range(4):
                 for b in range(a + 1, 4):
                     mu_ab, cov_ab = get_local_pair(
-                        fakes[a], fakes[b], nsample=cfg.shape_nsample
+                        fakes[a], fakes[b], nsample=cfg.shape_nsample,
+                        mask=mask,
                     )
                     similar_mu = similar_mu + mu_ab
                     similar_cov = similar_cov + cov_ab
@@ -180,7 +182,7 @@ def make_train_step(
                 pred, d_stats_i = disc_apply(
                     i, d_states[i].params, d_states[i].batch_stats, fakes[i]
                 )
-                adv = adv + cfg.adv_weights[i] * g_adv_loss(pred)
+                adv = adv + cfg.adv_weights[i] * g_adv_loss(pred, mask)
                 new_d_stats.append(d_stats_i)
 
             loss = adv + cfg.similar_weight * similar
@@ -198,28 +200,32 @@ def make_train_step(
         ]
         return new_g, new_ds, loss, similar
 
-    def train_step(state: GANState, reals, rng):
+    def train_step(state: GANState, reals, rng, mask=None):
         B = reals[0].shape[0]
         rng_d, rng_g = jax.random.split(rng)
 
-        # fakes for the D updates (detached, as in the reference)
-        noise_d = cfg.noise_sigma * jax.random.normal(
-            rng_d, (B, cfg.noise_dim))
-        fakes, g_stats = gen_apply(state.g.params, state.g.batch_stats, noise_d)
-        fakes = jax.tree.map(jax.lax.stop_gradient, fakes)
-        g_state = NetState(state.g.params, g_stats, state.g.opt_state)
+        with batch_mask(mask):
+            # fakes for the D updates (detached, as in the reference)
+            noise_d = cfg.noise_sigma * jax.random.normal(
+                rng_d, (B, cfg.noise_dim))
+            fakes, g_stats = gen_apply(state.g.params, state.g.batch_stats,
+                                       noise_d)
+            fakes = jax.tree.map(jax.lax.stop_gradient, fakes)
+            g_state = NetState(state.g.params, g_stats, state.g.opt_state)
 
-        d_states = []
-        d_losses = []
-        for i in range(4):
-            new_d, loss_i = d_update(i, state.d[i], reals[i], fakes[i])
-            d_states.append(new_d)
-            d_losses.append(loss_i)
+            d_states = []
+            d_losses = []
+            for i in range(4):
+                new_d, loss_i = d_update(i, state.d[i], reals[i], fakes[i],
+                                         mask)
+                d_states.append(new_d)
+                d_losses.append(loss_i)
 
-        # generator update with fresh noise
-        noise_g = cfg.noise_sigma * jax.random.normal(
-            rng_g, (B, cfg.noise_dim))
-        g_state, d_states, g_loss, similar = g_update(g_state, d_states, noise_g)
+            # generator update with fresh noise
+            noise_g = cfg.noise_sigma * jax.random.normal(
+                rng_g, (B, cfg.noise_dim))
+            g_state, d_states, g_loss, similar = g_update(
+                g_state, d_states, noise_g, mask)
 
         new_state = GANState(
             g=g_state, d=tuple(d_states), step=state.step + 1

@@ -137,7 +137,11 @@ class PDGNTrainer:
             PointDiscriminator1(), PointDiscriminator2(),
             PointDiscriminator3(), PointDiscriminator4(),
         )
-        self.mesh = make_mesh(batch_size=cfg.batch_size)
+        # full mesh always: a batch that does not divide the device count
+        # is padded up (masked statistics/losses) instead of dropping chips
+        self.mesh = make_mesh()
+        n_dev = int(self.mesh.devices.size)
+        self.padded_batch = -(-cfg.batch_size // n_dev) * n_dev
         self.state: Optional[GANState] = None
         self._train_step = None
         self._sampler = None
@@ -181,7 +185,7 @@ class PDGNTrainer:
         with self.mesh:
             self.state = init_state(
                 self.generator, self.discriminators, self.tcfg, rng,
-                batch_size=self.cfg.batch_size, num_points=self.sizes,
+                batch_size=self.padded_batch, num_points=self.sizes,
             )
             self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(
@@ -243,12 +247,23 @@ class PDGNTrainer:
         rng = rng if rng is not None else jax.random.PRNGKey(
             np.random.randint(0, 2 ** 31))
         sharding = batch_sharding(self.mesh)
+        pad_rows = self.padded_batch - cfg.batch_size
+        if pad_rows:
+            mask = jax.device_put(
+                np.concatenate([np.ones(cfg.batch_size, np.float32),
+                                np.zeros(pad_rows, np.float32)]), sharding)
+        else:
+            mask = None
 
         start_time = time.time()
         global_step = 0
         tracing = False
         for epoch in range(start_epoch, cfg.max_epoch + 1):
-            loader = train_loader(dataset, cfg.batch_size, sharding=sharding)
+            # with padding the loader yields host arrays (a 35-row array
+            # cannot be laid out on an 8-way sharded axis); rows are
+            # padded and placed below
+            loader = train_loader(dataset, cfg.batch_size,
+                                  sharding=None if pad_rows else sharding)
             for idx, batch in enumerate(loader):
                 if cfg.max_steps_per_epoch and idx >= cfg.max_steps_per_epoch:
                     break
@@ -256,9 +271,15 @@ class PDGNTrainer:
                     jax.profiler.start_trace(cfg.profile_dir)
                     tracing = True
                 p1, p2, p3, p4 = batch[:4]
+                if pad_rows:
+                    def _pad(x):
+                        z = np.zeros((pad_rows,) + x.shape[1:], np.float32)
+                        return jax.device_put(
+                            np.concatenate([np.asarray(x), z]), sharding)
+                    p1, p2, p3, p4 = (_pad(p) for p in (p1, p2, p3, p4))
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self._train_step(
-                    self.state, (p1, p2, p3, p4), step_rng)
+                    self.state, (p1, p2, p3, p4), step_rng, mask)
                 if tracing and global_step == 4:
                     jax.tree.map(
                         lambda x: x.block_until_ready(), metrics)

@@ -123,6 +123,71 @@ def test_sharded_eval_matches_single_device(mesh, rng):
     np.testing.assert_allclose(emd1, emd2, rtol=1e-4)
 
 
+def test_padded_masked_step_matches_unpadded(mesh, rng):
+    """Padding the batch to the device count with masked statistics must
+    reproduce the unpadded step exactly: losses AND the updated state."""
+    import jax.numpy as jnp
+
+    from pdgn_tpu.models import (
+        PointDiscriminator1, PointDiscriminator2,
+        PointDiscriminator3, PointDiscriminator4, PointGenerator,
+    )
+    from pdgn_tpu.parallel import batch_sharding, replicate
+    from pdgn_tpu.train import TrainConfig, init_state, make_train_step
+
+    sizes = (32, 64, 128, 256)
+    batch = 6                      # pads to 8 on the 8-device mesh
+    n_dev = mesh.devices.size
+    padded = -(-batch // n_dev) * n_dev
+    gen = PointGenerator(num_point=sizes[-1], num_k=20, base_points=16)
+    discs = (PointDiscriminator1(), PointDiscriminator2(),
+             PointDiscriminator3(), PointDiscriminator4())
+    cfg = TrainConfig()
+    reals = tuple(rng.randn(batch, n, 3).astype(np.float32) for n in sizes)
+    key = jax.random.PRNGKey(3)
+
+    # unpadded single-device run
+    state0 = init_state(gen, discs, cfg, jax.random.PRNGKey(0), batch,
+                        num_points=sizes)
+    step = jax.jit(make_train_step(gen, discs, cfg))
+    _, m_ref = step(state0, tuple(jnp.asarray(r) for r in reals), key)
+
+    # padded masked run over the full mesh
+    pad = padded - batch
+    mask = jnp.concatenate([jnp.ones((batch,), jnp.float32),
+                            jnp.zeros((pad,), jnp.float32)])
+    reals_p = tuple(
+        jnp.concatenate([jnp.asarray(r),
+                         jnp.zeros((pad,) + r.shape[1:], jnp.float32)])
+        for r in reals)
+    state1 = init_state(gen, discs, cfg, jax.random.PRNGKey(0), padded,
+                        num_points=sizes)
+    with mesh:
+        state1 = replicate(mesh, state1)
+        sh = batch_sharding(mesh)
+        reals_p = tuple(jax.device_put(r, sh) for r in reals_p)
+        mask_s = jax.device_put(mask, sh)
+        _, m_pad = step(state1, reals_p, key, mask_s)
+
+    # threefry counters are laid out row-major, so the first B rows of
+    # the padded (B', 128) noise equal the unpadded (B, 128) draw — with
+    # masked statistics the real rows see identical compute and the
+    # padded metrics must match the unpadded ones
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_pad[k]), float(m_ref[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+
+    # and a FULL mask must equal the unmasked step (masked-stat formulas
+    # reduce exactly to the plain ones)
+    state2 = init_state(gen, discs, cfg, jax.random.PRNGKey(0), batch,
+                        num_points=sizes)
+    _, m_full = step(state2, tuple(jnp.asarray(r) for r in reals), key,
+                     jnp.ones((batch,), jnp.float32))
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_full[k]), float(m_ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 @pytest.mark.slow
 def test_multihost_two_process_train_step_matches_single(tmp_path):
     """Two gloo-connected CPU processes (2 virtual devices each) run one
