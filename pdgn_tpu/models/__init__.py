@@ -10,6 +10,7 @@ from pdgn_tpu.models.discriminator import (
 from pdgn_tpu.models.generator import (
     BilateralBlock,
     BilateralUpsampleEdgeConv,
+    EdgeConv,
     PointGenerator,
     UpsampleEdgeConv,
 )
@@ -17,6 +18,7 @@ from pdgn_tpu.models.generator import (
 __all__ = [
     "BilateralBlock",
     "BilateralUpsampleEdgeConv",
+    "EdgeConv",
     "PointDiscriminator",
     "PointDiscriminator1",
     "PointDiscriminator2",

@@ -82,32 +82,9 @@ def _linear_bn_stats(h, kernel, bias, axis_name):
     (B, N, k, 2Fin) gate tensor out of HBM entirely. Under a batch mask
     (padded batch) the moments weight each sample's rows by its mask.
     """
-    mask = current_batch_mask()
-    rows_per_sample = 1
-    for d in h.shape[1:-1]:
-        rows_per_sample *= d
-    if mask is None:
-        hf = h.astype(jnp.float32).reshape(-1, h.shape[-1])
-        m_rows = float(hf.shape[0])
-    else:
-        w = mask.astype(jnp.float32)
-        hf = h.astype(jnp.float32).reshape(h.shape[0], -1, h.shape[-1])
-        # weighted rows: a binary mask makes w^2 == w, so the plain
-        # second-moment matmul of the pre-scaled rows is the weighted one
-        hf = (hf * w[:, None, None]).reshape(-1, h.shape[-1])
-        m_rows = jnp.sum(w) * float(rows_per_sample)
-    m_h = jnp.sum(hf, axis=0) / m_rows                       # (H,)
-    s_mat = jnp.matmul(hf.T, hf, precision=jax.lax.Precision.HIGHEST,
-                       **_MMF32) / m_rows                    # (H, H)
-    if axis_name is not None:
-        m_h = jax.lax.pmean(m_h, axis_name)
-        s_mat = jax.lax.pmean(s_mat, axis_name)
-    kf = kernel.astype(jnp.float32)
-    bf = bias.astype(jnp.float32)
-    mk = m_h @ kf                                            # (F,)
-    mean = mk + bf
-    ex2 = jnp.sum(kf * (s_mat @ kf), axis=0) + 2.0 * bf * mk + bf * bf
-    return mean, ex2 - jnp.square(mean)
+    from pdgn_tpu.models.layers import linear_bn_stats
+
+    return linear_bn_stats(h, kernel, bias, axis_name)
 
 
 def _block_channel_perm(four_fin: int):
@@ -343,6 +320,36 @@ def _dual_split_1x1(x, pc, idx, fea_params, xyz_params, dtype):
     nbr = grouping(proj, idx)                        # (B, N, k, 32)
     f = nbr.shape[-1] // 2
     return pf[:, :, None, :] + nbr[..., :f], px[:, :, None, :] + nbr[..., f:]
+
+
+class EdgeConv(nn.Module):
+    """Plain (non-upsampling) edge convolution.
+
+    Reference ``edgeConv`` (models/PDGNet_v2.py:652-670) — defined in the
+    reference but off the live PDGN path; provided for API completeness.
+    ``[x | nbr - x]`` edge features through a 1x1 conv + BN + ReLU, then a
+    max over the k neighbours: ``(B, N, Fin) -> (B, N, Fout)``. Uses the
+    same decomposed conv as the live stages (the gather moves to the
+    projected space; the (B, N, k, 2Fin) edge tensor never exists).
+    """
+
+    fin: int
+    fout: int
+    k: int
+    axis_name: Optional[str] = None
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from pdgn_tpu.ops.edges import _neighbor_idx
+
+        params = _DenseParams((2 * self.fin, self.fout),
+                              fan_in=2 * self.fin, name="conv")()
+        idx = _neighbor_idx(x, self.k)
+        e = _split_1x1(x, x, idx, params, self.dtype)   # (B, N, k, Fout)
+        e = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(e)
+        e = nn.relu(e)
+        return jnp.max(e, axis=2)
 
 
 class UpsampleEdgeConv(nn.Module):

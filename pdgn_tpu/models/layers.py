@@ -219,11 +219,57 @@ class BatchNormFold(nn.Module):
         return mean, var, scale, bias
 
 
+def linear_bn_stats(x, kernel, bias, axis_name):
+    """Batch statistics of ``y = x @ kernel + bias`` without a stats pass
+    over y.
+
+    For a linear layer, ``E[y_c] = m·W_c + b_c`` and
+    ``E[y_c^2] = W_c^T S W_c + 2 b_c (m·W_c) + b_c^2`` with
+    ``S = E[x x^T]`` — a (C_in, C_in) second-moment contraction instead of
+    a full-tensor pass over the (much larger) output. Exact modulo fp
+    ordering, and it lets XLA fuse the BN scale/shift into the GEMM
+    epilogue: the activation is written once, normalised. Honours the
+    ambient batch mask (padded batches).
+    """
+    mask = current_batch_mask()
+    rows_per_sample = 1
+    for d in x.shape[1:-1]:
+        rows_per_sample *= d
+    if mask is None:
+        xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+        m_rows = float(xf.shape[0])
+    else:
+        w = mask.astype(jnp.float32)
+        xf = x.astype(jnp.float32).reshape(x.shape[0], -1, x.shape[-1])
+        # binary mask: w^2 == w, so pre-scaling rows yields the weighted
+        # second moment from the plain matmul
+        xf = (xf * w[:, None, None]).reshape(-1, x.shape[-1])
+        m_rows = jnp.sum(w) * float(rows_per_sample)
+    m_x = jnp.sum(xf, axis=0) / m_rows                       # (C,)
+    s_mat = jnp.matmul(
+        xf.T, xf, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32) / m_rows         # (C, C)
+    if axis_name is not None:
+        m_x = jax.lax.pmean(m_x, axis_name)
+        s_mat = jax.lax.pmean(s_mat, axis_name)
+    kf = kernel.astype(jnp.float32)
+    bf = bias.astype(jnp.float32)
+    mk = m_x @ kf                                            # (F,)
+    mean = mk + bf
+    ex2 = jnp.sum(kf * (s_mat @ kf), axis=0) + 2.0 * bf * mk + bf * bf
+    return mean, jnp.maximum(0.0, ex2 - jnp.square(mean))
+
+
 class DenseBR(nn.Module):
     """Dense + BN + activation (== reference ``fcbr``/``conv1dbr``).
 
     A 1x1 Conv1d over channel-last data *is* a Dense over the last axis, so
-    this one block covers both reference helpers.
+    this one block covers both reference helpers. The BN statistics come
+    from the linear second-moment identity (:func:`linear_bn_stats`) —
+    exact, but with no stats pass over the activation, so the whole block
+    is one GEMM with a fused normalise+activate epilogue. This is the
+    discriminators' entire conv stack (reference PointDiscriminator_1..4,
+    models/PDGNet_v2.py:882-1023).
     """
 
     features: int
@@ -233,11 +279,32 @@ class DenseBR(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = TorchDense(self.features, dtype=self.dtype)(x)
-        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x)
+        # the identity costs an fp32-exact (C_in, C_in) contraction of x;
+        # it beats the full stats pass over y only while C_in is narrow
+        # (measured on v5e: D1 6.2 -> 4.0 ms, but D4's 256-wide layer
+        # regresses) — wide layers keep the plain BatchNorm
+        if x.shape[-1] > 128:
+            y = TorchDense(self.features, dtype=self.dtype)(x)
+            y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
+            if self.negative_slope is None:
+                return nn.relu(y)
+            return nn.leaky_relu(y, self.negative_slope)
+        d = TorchDense(self.features, dtype=self.dtype, name="TorchDense_0")
+        y = d(x)
+        kernel = d.variables["params"]["dense"]["kernel"]
+        bias = d.variables["params"]["dense"]["bias"]
+        mean, var = linear_bn_stats(x, kernel, bias, self.axis_name)
+        # same variable tree as the previous BatchNorm(name="BatchNorm_0")
+        _, _, scale, shift = BatchNormFold(name="BatchNorm_0")(mean, var)
+        eps = 1e-5
+        s = scale * jax.lax.rsqrt(var + eps)
+        y = y.astype(jnp.float32) * s + (shift - mean * s)
+        out_dt = self.dtype if self.dtype is not None else jnp.promote_types(
+            x.dtype, jnp.float32)
+        y = y.astype(out_dt)
         if self.negative_slope is None:
-            return nn.relu(x)
-        return nn.leaky_relu(x, self.negative_slope)
+            return nn.relu(y)
+        return nn.leaky_relu(y, self.negative_slope)
 
 
 def leaky_relu(x, negative_slope: float = 0.01):

@@ -7,6 +7,7 @@ from pdgn_tpu.utils.misc import (
     get_new_log_dir,
     int_list,
     int_tuple,
+    log_hyperparams,
     seed_all,
     str_list,
     str_tuple,
@@ -19,6 +20,7 @@ __all__ = [
     "get_new_log_dir",
     "int_list",
     "int_tuple",
+    "log_hyperparams",
     "seed_all",
     "str_list",
     "str_tuple",

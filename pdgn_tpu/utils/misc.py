@@ -172,3 +172,22 @@ class CheckpointManager:
         if idx is None:
             raise IOError("No checkpoints found.")
         return load_state(os.path.join(self.save_dir, self.ckpts[idx]["file"]))
+
+
+def log_hyperparams(writer, args) -> None:
+    """Record experiment hyperparameters with a summary writer.
+
+    Equivalent of reference ``utils/misc.py:156-162`` (``log_hyperparams``
+    — unused by the reference trainer itself). Accepts any writer exposing
+    tensorboardX/torch-style ``add_hparams`` (e.g. ``tensorboardX
+    .SummaryWriter``); values that are not strings are ``repr``'d, like
+    the reference. Falls back to a plain-text summary via ``add_text``
+    when ``add_hparams`` is unavailable.
+    """
+    vars_args = {k: v if isinstance(v, str) else repr(v)
+                 for k, v in vars(args).items()}
+    if hasattr(writer, "add_hparams"):
+        writer.add_hparams(vars_args, {})
+        return
+    text = "\n".join(f"{k}: {v}" for k, v in sorted(vars_args.items()))
+    writer.add_text("hyperparams", text)

@@ -111,3 +111,36 @@ def test_dense_dbr_layer():
                       rngs={"dropout": jax.random.PRNGKey(1)},
                       mutable=["batch_stats"])
     assert out2.shape == (4, 8)
+
+
+def test_edge_conv_matches_naive_composition():
+    """EdgeConv (reference edgeConv, models/PDGNet_v2.py:652-670 — off the
+    live path) must equal the naive edge-tensor composition."""
+    import jax
+
+    from pdgn_tpu.models import EdgeConv
+    from pdgn_tpu.ops.edges import _neighbor_idx
+    from pdgn_tpu.ops.grouping import grouping
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    m = EdgeConv(fin=8, fout=16, k=6)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x, mutable=["batch_stats"])[0]
+    assert y.shape == (2, 64, 16)
+
+    # naive: e = [x | nbr - x] @ W + b -> BN (batch stats) -> relu -> max_k
+    kernel = v["params"]["conv"]["dense"]["kernel"]
+    bias = v["params"]["conv"]["dense"]["bias"]
+    idx = _neighbor_idx(x, 6)
+    nbr = grouping(x, idx)                          # (B, N, k, C)
+    e = jnp.concatenate(
+        [jnp.broadcast_to(x[:, :, None, :], nbr.shape), nbr - x[:, :, None, :]],
+        axis=-1)
+    pre = jnp.einsum("bnkc,cf->bnkf", e, kernel) + bias
+    mean = pre.mean(axis=(0, 1, 2))
+    var = pre.var(axis=(0, 1, 2))
+    normed = (pre - mean) / np.sqrt(var + 1e-5)
+    want = jnp.max(jax.nn.relu(normed), axis=2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

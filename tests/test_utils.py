@@ -100,3 +100,34 @@ def test_subset_and_random_split():
 def test_infinite_iterator():
     it = get_data_iterator([1, 2])
     assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
+
+
+def test_log_hyperparams_both_writer_styles():
+    """Reference utils/misc.py:156-162 equivalent: hparams via
+    add_hparams when available, else a text summary."""
+    from pdgn_tpu.utils import log_hyperparams
+
+    import argparse
+
+    args = argparse.Namespace(batch_size=50, network="PDGNet_v2",
+                              choice=None)
+
+    class TextWriter:
+        def __init__(self):
+            self.texts = []
+
+        def add_text(self, tag, text):
+            self.texts.append((tag, text))
+
+    class HParamWriter(TextWriter):
+        def add_hparams(self, hparams, metrics):
+            self.hparams = hparams
+
+    w = TextWriter()
+    log_hyperparams(w, args)
+    assert "batch_size: 50" in w.texts[0][1]
+
+    w2 = HParamWriter()
+    log_hyperparams(w2, args)
+    assert w2.hparams["network"] == "PDGNet_v2"
+    assert w2.hparams["choice"] == "None"   # non-strings repr'd
