@@ -65,6 +65,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--synthetic_size', type=int, default=64)
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='write a jax.profiler trace of steps 2..4')
+    parser.add_argument('--compute_dtype', type=str, default=None,
+                        choices=[None, 'float32', 'bfloat16'],
+                        help='training compute dtype for the large '
+                             'activations (params/BN stats/coordinate '
+                             'heads stay fp32). bfloat16 roughly matches '
+                             'the TF32 regime the reference trains in on '
+                             'Ampere GPUs; default fp32')
     return check_args(parser.parse_args(argv))
 
 
@@ -129,6 +136,7 @@ def main(argv=None) -> None:
         synthetic_size=args.synthetic_size,
         max_steps_per_epoch=args.max_steps_per_epoch,
         profile_dir=args.profile_dir,
+        compute_dtype=args.compute_dtype,
     )
     trainer = PDGNTrainer(cfg)
     trainer.build_model()

@@ -79,6 +79,9 @@ class ExperimentConfig:
     #                                      reference; smaller for smoke tests)
     profile_dir: Optional[str] = None    # write a jax.profiler trace of
     #                                      train steps 2..4 here
+    compute_dtype: Optional[str] = None  # large-activation dtype for
+    #                                      training ('bfloat16' ~= the
+    #                                      reference's Ampere TF32 regime)
 
     @property
     def category(self) -> str:
@@ -132,7 +135,8 @@ class PDGNTrainer:
         self.sizes = tuple(cfg.base_points * (2 ** i) for i in range(1, 5))
         self.generator = PointGenerator(cfg.num_point, cfg.num_k,
                                         softmax=softmax,
-                                        base_points=cfg.base_points)
+                                        base_points=cfg.base_points,
+                                        dtype=cfg.compute_dtype)
         self.discriminators = (
             PointDiscriminator1(), PointDiscriminator2(),
             PointDiscriminator3(), PointDiscriminator4(),

@@ -39,3 +39,11 @@ def test_normalize_choices(tmp_path):
         parse_args(["--model_dir", "m", "--network", "PDGNet_v2",
                     "--checkpoint_dir", str(tmp_path),
                     "--normalize", "bogus"])
+
+
+def test_compute_dtype_flag():
+    args = parse_args(["--model_dir", "m", "--network", "PDGNet_v2",
+                       "--compute_dtype", "bfloat16"])
+    assert args.compute_dtype == "bfloat16"
+    args = parse_args(["--model_dir", "m", "--network", "PDGNet_v2"])
+    assert args.compute_dtype is None

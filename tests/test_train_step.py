@@ -92,3 +92,35 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     # restored state must be steppable
     _, metrics = step(restored, reals, jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_bf16_compute_dtype_step_runs_finite():
+    """--compute_dtype bfloat16 (generator large activations in bf16,
+    fp32 params/BN stats/coordinate heads) must produce a finite step."""
+    import jax
+
+    from pdgn_tpu.models import (
+        PointDiscriminator1, PointDiscriminator2,
+        PointDiscriminator3, PointDiscriminator4, PointGenerator,
+    )
+    from pdgn_tpu.train import TrainConfig, init_state, make_train_step
+
+    sizes = (32, 64, 128, 256)
+    batch = 4
+    gen = PointGenerator(num_point=sizes[-1], num_k=20, base_points=16,
+                         dtype="bfloat16")
+    discs = (PointDiscriminator1(), PointDiscriminator2(),
+             PointDiscriminator3(), PointDiscriminator4())
+    cfg = TrainConfig()
+    state = init_state(gen, discs, cfg, jax.random.PRNGKey(0), batch,
+                       num_points=sizes)
+    rng = np.random.RandomState(0)
+    reals = tuple(jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
+                  for n in sizes)
+    step = jax.jit(make_train_step(gen, discs, cfg))
+    state, m = step(state, reals, jax.random.PRNGKey(1))
+    state, m = step(state, reals, jax.random.PRNGKey(2))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    # params stay fp32
+    assert state.g.params["fc1"]["dense"]["kernel"].dtype == jnp.float32
