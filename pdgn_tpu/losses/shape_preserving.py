@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from pdgn_tpu.losses.chamfer import chamfer_loss
-from pdgn_tpu.ops.grouping import group_xyz
 
 
 def compute_mean_covariance(

@@ -54,7 +54,7 @@ backward is the jnp reference composition's VJP.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

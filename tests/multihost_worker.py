@@ -38,6 +38,7 @@ def main() -> None:
         n_dev = len(jax.devices())
     assert n_dev == 4, f"expected 4 global devices, got {n_dev}"
 
+    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -51,6 +52,22 @@ def main() -> None:
     mesh = make_mesh(jax.devices())
     batch = 4
     sizes = (32, 64, 128, 256)
+
+    if args.process_id is not None:
+        # establish the gloo clique while the processes are still in
+        # lock-step: the context's key exchange has a hard ~30 s
+        # deadline, and the first collective of the BIG program would
+        # otherwise fire whenever each process finishes its (minutes-
+        # long, possibly cache-skewed) compile. A tiny all-device psum
+        # compiled in seconds creates the clique context up front; the
+        # train step reuses it.
+        ones = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")),
+            np.ones((2, 1), np.float32), (4, 1))
+        total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(
+            ones)
+        assert float(total) == 4.0, float(total)
+        print("gloo warm-up ok", args.process_id, flush=True)
     gen = PointGenerator(num_point=sizes[-1], num_k=20, base_points=16)
     discs = (PointDiscriminator1(), PointDiscriminator2(),
              PointDiscriminator3(), PointDiscriminator4())
@@ -76,7 +93,18 @@ def main() -> None:
             to_global(rng.randn(batch, n, 3).astype(np.float32), P("data"))
             for n in sizes)
         step = jax.jit(make_train_step(gen, discs, cfg))
-        _, metrics = step(state, reals, jax.random.PRNGKey(1))
+        key = jax.random.PRNGKey(1)
+        # compile WITHOUT executing, then rendezvous on the coordination
+        # service (not gloo): compile times can skew by minutes between
+        # the processes (e.g. one hits the persistent cache), and gloo
+        # data-phase waits are not unbounded
+        compiled = step.lower(state, reals, key).compile()
+        if args.process_id is not None:
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                "pdgn_step_compiled", timeout_in_ms=3_000_000)
+        _, metrics = compiled(state, reals, key)
         metrics = {k: float(v) for k, v in metrics.items()}
 
     for k, v in metrics.items():

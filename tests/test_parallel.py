@@ -211,23 +211,41 @@ def test_multihost_two_process_train_step_matches_single(tmp_path):
 
     out0 = tmp_path / "dist.json"
     out1 = tmp_path / "single.json"
-    port = "29531"
+    # unique port per run: a fixed port collides with the coordinator of
+    # an earlier (killed/overlapping) run and strands worker 0
+    port = str(29600 + os.getpid() % 300)
+    # worker output goes to FILES: XLA emits tens of kB of AOT-cache
+    # warnings, which deadlocks a subprocess.PIPE that is only drained
+    # after wait()
+    logfiles = [tmp_path / f"worker{i}.log" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, "--process-id", str(i), "--port", port,
              "--out", str(out0)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            env=env, stdout=open(logfiles[i], "w"),
+            stderr=subprocess.STDOUT)
         for i in range(2)
     ]
-    rc = [p.wait(timeout=1200) for p in procs]
-    logs = b"\n".join(p.stdout.read() for p in procs).decode(
-        errors="replace")
-    assert rc == [0, 0], logs[-4000:]
+    # the two workers compile the same program concurrently on
+    # this one-core host (~10 min each when the cache is cold); if one
+    # dies, kill the other instead of waiting out its collective
+    rc = []
+    for i, p in enumerate(procs):
+        try:
+            rc.append(p.wait(timeout=2700))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            rc.append(f"timeout (proc {i})")
+    logs = "\n".join(f.read_text()[-2000:] for f in logfiles)
+    assert rc == [0, 0], (rc, logs)
 
-    single = subprocess.run(
-        [sys.executable, worker, "--out", str(out1)],
-        env=env2, capture_output=True, timeout=1200)
-    assert single.returncode == 0, single.stdout[-4000:]
+    single_log = tmp_path / "single.log"
+    with open(single_log, "w") as lf:
+        single = subprocess.run(
+            [sys.executable, worker, "--out", str(out1)],
+            env=env2, stdout=lf, stderr=subprocess.STDOUT, timeout=1800)
+    assert single.returncode == 0, single_log.read_text()[-2000:]
 
     import json
 
