@@ -209,7 +209,9 @@ def pairwise_cd_emd(
     has more than one device, row blocks of the sample axis are
     distributed across the mesh (each device computes its (tile, N_ref)
     strip against the replicated reference set) — per-tile numerics are
-    identical to the single-device path.
+    identical to the single-device path. ``mesh`` and ``symmetric`` are
+    mutually exclusive speedups: the triangle path is single-device, so
+    ``symmetric=True`` takes precedence and ``mesh`` is ignored.
     """
     sample_pcs = jnp.asarray(sample_pcs, jnp.float32)
     ref_pcs = jnp.asarray(ref_pcs, jnp.float32)

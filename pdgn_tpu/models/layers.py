@@ -74,7 +74,9 @@ def masked_moments(x: jnp.ndarray, mask: jnp.ndarray, axes=None):
     for a in axes:
         if a != 0:
             per_sample *= x.shape[a]
-    denom = jnp.sum(mask.astype(jnp.float32)) * per_sample
+    # guard the all-padded edge case (trainer masks always keep >=1 real
+    # row, but the helper is public): clamp instead of NaN-ing
+    denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0) * per_sample
     mean = jnp.sum(xf * w, axis=axes) / denom
     mean2 = jnp.sum(jnp.square(xf) * w, axis=axes) / denom
     var = jnp.maximum(0.0, mean2 - jnp.square(mean))
@@ -232,6 +234,13 @@ def linear_bn_stats(x, kernel, bias, axis_name):
     ambient batch mask (padded batches).
     """
     mask = current_batch_mask()
+    if mask is not None and axis_name is not None:
+        # per-shard mask-weighted moments cannot be pmean-ed unweighted
+        # when shards carry unequal real-row counts; match BatchNorm's
+        # explicit refusal rather than silently computing wrong stats
+        raise NotImplementedError(
+            "masked linear_bn_stats under an explicit axis_name; the jit "
+            "trainer handles padded batches with a global mask instead")
     rows_per_sample = 1
     for d in x.shape[1:-1]:
         rows_per_sample *= d

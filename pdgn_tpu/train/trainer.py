@@ -111,7 +111,9 @@ def normalize_point_clouds(pcs: np.ndarray, mode: Optional[str],
         pc = pcs[i]
         if mode == "shape_unit":
             shift = pc.mean(axis=0, keepdims=True)
-            scale = pc.flatten().std().reshape(1, 1)
+            # ddof=1: the reference's torch ``.std()`` is the sample std
+            # (models/PDGNet_v2.py:422), numpy's default is ddof=0
+            scale = pc.flatten().std(ddof=1).reshape(1, 1)
         elif mode == "shape_bbox":
             pc_max = pc.max(axis=0, keepdims=True)
             pc_min = pc.min(axis=0, keepdims=True)

@@ -194,6 +194,44 @@ def test_modelnet_loader(modelnet_root):
     assert len(d2) == 2
 
 
+def test_modelnet_batch_iterator(modelnet_root):
+    """reset/has_next_batch/next_batch surface (reference
+    datasets_4point.py:217-240)."""
+    from pdgn_tpu.data import ModelNetDataset
+
+    d = ModelNetDataset(root=modelnet_root, split="train", modelnet10=True,
+                        batch_size=3, shuffle=False)
+    assert d.num_channel() == 3
+    assert d.num_batches == 2 and d.has_next_batch()
+    b0, l0 = d.next_batch()
+    assert b0.shape == (3, 2048, 3) and l0.shape == (3,)
+    assert l0.dtype == np.int32
+    b1, l1 = d.next_batch()
+    assert b1.shape == (1, 2048, 3)  # ragged final batch
+    assert not d.has_next_batch()
+    # unshuffled order matches __getitem__ order
+    np.testing.assert_allclose(b0[0], d[0][3])
+    d.reset()
+    assert d.batch_idx == 0 and d.has_next_batch()
+
+    # augmented batch: same shape, rigid-rotation + jitter keeps radii
+    # bounded; point order is shuffled
+    rng = np.random.RandomState(7)
+    da = ModelNetDataset(root=modelnet_root, split="train", modelnet10=True,
+                         batch_size=4, shuffle=True, rng=rng)
+    ba, la = da.next_batch(augment=True)
+    assert ba.shape == (4, 2048, 3) and np.isfinite(ba).all()
+    # scale in [0.8,1.25], shift 0.1, jitter clip 0.05: radius stays < 2
+    assert np.linalg.norm(ba, axis=-1).max() < 2.0
+
+    # normal_channel=True augments xyz but rotates normals too
+    dn = ModelNetDataset(root=modelnet_root, split="train", modelnet10=True,
+                         batch_size=2, shuffle=False, normal_channel=True,
+                         normalize=False, rng=np.random.RandomState(3))
+    bn, _ = dn.next_batch(augment=True)
+    assert bn.shape == (2, 2048, 6) and np.isfinite(bn).all()
+
+
 @pytest.fixture(scope="module")
 def partdata_root(tmp_path_factory):
     """Miniature shapenet-part (.pts/.seg) layout."""

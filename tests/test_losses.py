@@ -137,3 +137,15 @@ def test_get_local_pair_zero_for_identical(rng):
     like_mu, like_cov = losses.get_local_pair(jnp.asarray(pt), jnp.asarray(pt), nsample=8)
     assert float(like_mu) < 1e-8
     assert float(like_cov) < 1e-8
+
+
+def test_fast_exp_neg_accuracy():
+    """The kept-for-Pallas fast-exp candidate (losses/emd.py) stays within
+    its documented ~5e-5 relative error of exp(x) for x <= 0."""
+    from pdgn_tpu.losses.emd import _fast_exp_neg
+
+    x = jnp.asarray(-np.logspace(-6, 1.94, 4096, dtype=np.float32))
+    x = jnp.concatenate([x, jnp.asarray([0.0, -1e-30, -87.0])])
+    got = np.asarray(_fast_exp_neg(x))
+    want = np.exp(np.asarray(x, np.float64))
+    np.testing.assert_allclose(got, want, rtol=8e-5)

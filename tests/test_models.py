@@ -144,3 +144,27 @@ def test_edge_conv_matches_naive_composition():
     want = jnp.max(jax.nn.relu(normed), axis=2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_masked_moments_all_padded_is_finite():
+    """An all-zero mask must not NaN (clamped denominator)."""
+    from pdgn_tpu.models.layers import masked_moments
+
+    x = jnp.ones((4, 5, 3))
+    mean, var = masked_moments(x, jnp.zeros((4,)))
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(var)).all()
+
+
+def test_linear_bn_stats_mask_plus_axis_name_refuses():
+    """Padded batches + explicit axis_name is an unimplemented stats
+    combination; it must refuse loudly (like masked BatchNorm), not
+    silently pmean per-shard moments."""
+    from pdgn_tpu.models.layers import batch_mask, linear_bn_stats
+
+    x = jnp.ones((4, 6, 8))
+    k = jnp.ones((8, 16))
+    b = jnp.zeros((16,))
+    with batch_mask(jnp.asarray([1.0, 1.0, 1.0, 0.0])):
+        with pytest.raises(NotImplementedError):
+            linear_bn_stats(x, k, b, "data")

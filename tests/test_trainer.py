@@ -117,3 +117,20 @@ def test_profile_dir_writes_trace(cfg_factory, tmp_path):
     tr.train()
     import glob
     assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+
+
+def test_normalize_shape_unit_matches_torch_std():
+    """shape_unit renormalisation uses the SAMPLE std (ddof=1), matching
+    the reference's torch ``.std()`` (models/PDGNet_v2.py:420-423)."""
+    import torch
+
+    from pdgn_tpu.train.trainer import normalize_point_clouds
+
+    pcs = np.random.RandomState(0).randn(3, 64, 3).astype(np.float32)
+    out = normalize_point_clouds(pcs, "shape_unit")
+    for i in range(3):
+        pc = torch.from_numpy(pcs[i])
+        shift = pc.mean(dim=0).reshape(1, 3)
+        scale = pc.flatten().std().reshape(1, 1)     # torch std: ddof=1
+        want = ((pc - shift) / scale).numpy()
+        np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-6)
