@@ -169,6 +169,20 @@ def _to(dtype, y):
     return y if dtype is None else y.astype(dtype)
 
 
+def _pin(dtype, y):
+    """Pin a bf16 stage-boundary tensor against excess-precision elision.
+
+    ``--xla_allow_excess_precision`` (default on) elides a bf16
+    down-cast whose consumer up-casts to fp32 — which is exactly the
+    BN-stats/normalise pattern at every stage boundary, so without the
+    barrier the pixel-shuffle transpose and the bn_uc passes run on a
+    materialised fp32 copy (measured ~2.2 ms/fwd at B=128).
+    """
+    if dtype is None:
+        return y
+    return jax.lax.optimization_barrier(y)
+
+
 class _WindowConv(nn.Module):
     """``inte_conv_hk`` decomposed (reference models/PDGNet_v2.py:561-565).
 
@@ -394,8 +408,10 @@ class UpsampleEdgeConv(nn.Module):
         y = edge_conv_tail(partial, inte_raw, None, i_stats, None, None,
                            merge_kernel, merge_bias, self.k)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
-        y = nn.relu(y)
-        return _point_pixel_shuffle(y)                        # (B,2N,Fout)
+        # pin AFTER the shuffle: the transpose then moves bf16 bytes and
+        # bn_uc's fp32 upcasts stay fused in its stats/normalise passes
+        return _pin(self.dtype,
+                    _point_pixel_shuffle(nn.relu(y)))         # (B,2N,Fout)
 
 
 class BilateralUpsampleEdgeConv(nn.Module):
@@ -407,6 +423,14 @@ class BilateralUpsampleEdgeConv(nn.Module):
     The xyz edge features use the *feature-space* kNN graph (reference
     :479-528) and are consumed only by a 16-channel 1x1 conv, which the
     decomposition turns into a 16-channel gather.
+
+    The stage input is taken as the pair ``(xs, ec)`` whose concat is the
+    reference's ``x_out = cat([xs·repeat, x_ec])`` (models/PDGNet_v2.py:
+    785): ``xs`` is identical for every point of a cloud, so it cancels in
+    the pairwise kNN distances and every channel contraction of it
+    collapses to a per-batch bias — the head kernel only ever touches the
+    per-point half (half the MXU work; the concat never materialises).
+    ``xs=None`` reproduces the plain single-tensor input.
     """
 
     fin: int
@@ -417,8 +441,10 @@ class BilateralUpsampleEdgeConv(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pc):
-        B, N, C = x.shape
+    def __call__(self, x, pc, xs=None):
+        B, N, _ = x.shape
+        C = self.fin                     # full channels (x may be a half)
+        cx = 0 if xs is None else xs.shape[-1]
         hk = self.k // 2
         four_fin = 4 * self.fin
         window = hk + 1
@@ -438,7 +464,9 @@ class BilateralUpsampleEdgeConv(nn.Module):
         # projections per neighbour slot in (window, j) order (reference
         # slot j*hk + w rides slot s'' = w*2 + j), so its flat outputs
         # reshape *contiguously* into the block channel layout of the
-        # window-conv output downstream.
+        # window-conv output downstream. With a split input the xs rows of
+        # both weight halves fold into per-batch terms on ppoint (the
+        # gathered xs contribution is constant per cloud).
         fea_params = _DenseParams((2 * C, 16), fan_in=2 * C,
                                   name="conv_fea")()
         xyz_params = _DenseParams((6, 16), fan_in=6, name="conv_xyz")()
@@ -447,10 +475,20 @@ class BilateralUpsampleEdgeConv(nn.Module):
         cp = pc.shape[-1]
         dt = self.dtype
         xd, pcd = _cast(dt, x, pc)
-        fwc, fwn = _cast(dt, fk[:C] - fk[C:], fk[C:])
+        fwc_full = fk[:C] - fk[C:]
+        fwn_full = fk[C:]
+        fwc, fwn = _cast(dt, fwc_full[cx:], fwn_full[cx:])
         xwc, xwn = _cast(dt, xk[:cp] - xk[cp:], xk[cp:])
+        pp_fea = _to(dt, jnp.matmul(xd, fwc, **_MMF32) + fb)
+        if xs is not None:
+            # central xs term + the constant gathered-xs term, per batch
+            xsf = xs.astype(jnp.float32)
+            pb_fea = jnp.matmul(
+                xsf, (fwc_full[:cx] + fwn_full[:cx]).astype(jnp.float32),
+                **_MMF32)
+            pp_fea = pp_fea + _to(dt, pb_fea)[:, None, :]
         ppoint = jnp.concatenate(
-            [_to(dt, jnp.matmul(xd, fwc, **_MMF32) + fb),
+            [pp_fea,
              _to(dt, jnp.matmul(pcd, xwc, **_MMF32) + xb)], axis=-1)
         pcat = jnp.concatenate(
             [_to(dt, jnp.matmul(xd, fwn, **_MMF32)),
@@ -461,7 +499,8 @@ class BilateralUpsampleEdgeConv(nn.Module):
         # tensor never exists in HBM)
         (idx, inte_raw, partial, (i_mean, i_var),
          wfea, wxyz, fea_stats, xyz_stats) = edge_conv_head(
-            x, conv_kernel, conv_bias, merge_kernel, self.k, pcat, ppoint)
+            x, conv_kernel, conv_bias, merge_kernel, self.k, pcat, ppoint,
+            xs=xs)
         mask = current_batch_mask()
         if mask is not None:
             # padded batch: recompute every kernel-accumulated statistic
@@ -488,10 +527,34 @@ class BilateralUpsampleEdgeConv(nn.Module):
             * leaky_relu(
             wxyz.astype(jnp.float32) * jnp.tile(xs, self.k)
             + jnp.tile(xsh - xm * xs, self.k)))
-        w4 = w_flat.reshape(B, N, self.k, 16)
-        h = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                                 name="bn_all1")(
-            TorchDense(64, dtype=self.dtype, name="conv_all1")(w4)))
+        # conv_all1 + bn_all1 + LeakyReLU in the lane-flat layout: the
+        # per-slot 16->64 dense rides a block-diagonal weight so the
+        # (B, N, k, 16)/(B, N, k, 64) relayouts (two full HBM round
+        # trips) never happen; bn_all1's per-64-channel stats pool the k
+        # slots of the flat channel axis. Same parameter tree/init as the
+        # previous TorchDense("conv_all1") + BatchNorm("bn_all1").
+        ck1, cb1 = _DenseParams((16, 64), fan_in=16, name="conv_all1")()
+        wblk = jnp.kron(jnp.eye(self.k, dtype=ck1.dtype), ck1)
+        wfd, wbd = _cast(dt, w_flat, wblk)
+        h_pre = _to(dt, jnp.matmul(wfd, wbd, **_MMF32)
+                    + jnp.tile(cb1, self.k))             # (B, N, k*64)
+        if mask is None:
+            cnt = float(B * N * self.k)
+            hf = h_pre.astype(jnp.float32)
+            hs = jnp.sum(hf, axis=(0, 1)).reshape(self.k, 64)
+            hq = jnp.sum(jnp.square(hf), axis=(0, 1)).reshape(self.k, 64)
+            m1 = jnp.sum(hs, axis=0) / cnt
+            v1 = jnp.sum(hq, axis=0) / cnt - jnp.square(m1)
+        else:
+            m1, v1 = masked_moments(
+                h_pre.reshape(B, N * self.k, 64), mask)
+        m1, v1 = _sync_stats(m1, v1, self.axis_name)
+        _, _, sc1, bi1 = BatchNormFold(name="bn_all1")(m1, v1)
+        s1 = sc1 * jax.lax.rsqrt(v1 + eps)
+        h = _pin(dt, _to(dt, leaky_relu(
+            h_pre.astype(jnp.float32) * jnp.tile(s1, self.k)
+            + jnp.tile(bi1 - m1 * s1, self.k))))         # (B, N, k*64)
+        h4 = h.reshape(B, N, self.k, 64)
         # conv_all2 + bn_all2 + LeakyReLU + softmax + gating + merge all
         # run inside the fused tail: the (B, N, k, 2Fin) gate tensor never
         # materialises. bn_all2's batch statistics come from the
@@ -500,18 +563,37 @@ class BilateralUpsampleEdgeConv(nn.Module):
         # (B, C, N, K)) is invariant to the slot permutation above, and
         # consecutive slot pairs form the block channel layout of the
         # window-conv output.
-        w2_params = _DenseParams((h.shape[-1], 2 * self.fin),
-                                 fan_in=h.shape[-1], name="conv_all2")()
-        m2, v2 = _linear_bn_stats(h, w2_params[0], w2_params[1],
-                                  self.axis_name)
+        w2_params = _DenseParams((64, 2 * self.fin), fan_in=64,
+                                 name="conv_all2")()
+        if mask is None:
+            # one fused pass over the flat h: per-slot channel sums +
+            # second-moment matrix (ops/pallas/slot_stats), then the
+            # linear identity — no (B, N, k, 64) relayout, no extra read
+            from pdgn_tpu.ops.pallas.slot_stats import slot_moment_stats
+
+            s_vec, s_mat = slot_moment_stats(h, self.k)
+            rows = float(B * N * self.k)
+            m_x = s_vec / rows
+            s_mat = s_mat / rows
+            if self.axis_name is not None:
+                m_x = jax.lax.pmean(m_x, self.axis_name)
+                s_mat = jax.lax.pmean(s_mat, self.axis_name)
+            kf = w2_params[0].astype(jnp.float32)
+            bf = w2_params[1].astype(jnp.float32)
+            mk = m_x @ kf
+            m2 = mk + bf
+            ex2 = jnp.sum(kf * (s_mat @ kf), axis=0) + 2.0 * bf * mk + bf * bf
+            v2 = jnp.maximum(0.0, ex2 - jnp.square(m2))
+        else:
+            m2, v2 = _linear_bn_stats(h4, w2_params[0], w2_params[1],
+                                      self.axis_name)
         w2_stats = BatchNormFold(name="bn_all2")(m2, v2)
 
         y = edge_conv_tail(partial, inte_raw, h, i_stats, w2_params,
                            w2_stats, merge_kernel, merge_bias, self.k,
                            softmax=self.softmax)
-        y = BatchNorm(axis_name=self.axis_name)(y)
-        y = nn.relu(y)
-        return _point_pixel_shuffle(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
+        return _pin(self.dtype, _point_pixel_shuffle(nn.relu(y)))
 
 
 class _GlobalBranch(nn.Module):
@@ -528,9 +610,9 @@ class _GlobalBranch(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, pooled):
         dt = self.dtype
-        xs = jnp.max(x, axis=1)                               # (B, Fin)
+        xs = pooled                                           # (B, Fin)
         xs = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=dt,
                                   name="bn_fc1")(
             TorchDense(self.fin, dtype=dt, name="fc1")(xs)))
@@ -564,15 +646,30 @@ class BilateralBlock(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pc=None):
+    def __call__(self, x, pc=None, xs_in=None):
+        """``x``: per-point features — the full stage input when
+        ``xs_in`` is None (stage 1), else the per-point half ``x_ec`` of
+        the previous stage whose per-batch half is ``xs_in (B, C/2)``.
+
+        Returns ``(xs_new, g, ec_new)`` — the reference's
+        ``x_out = cat([xs_new·repeat, ec_new])`` and
+        ``g_out = cat([g·repeat, ec_new])`` (models/PDGNet_v2.py:785-788)
+        are never materialised; consumers decompose against the pair.
+        """
         B, N, _ = x.shape
+        # maxpool of the (virtual) concat: the broadcast half maxes to
+        # itself, the per-point half reduces over points
+        pooled = jnp.max(x, axis=1)
+        if xs_in is not None:
+            pooled = jnp.concatenate([xs_in, pooled], axis=-1)
         xs, g = _GlobalBranch(self.fin, self.fout, with_g=self.with_g,
-                              axis_name=self.axis_name, dtype=self.dtype)(x)
+                              axis_name=self.axis_name,
+                              dtype=self.dtype)(pooled)
         if self.bilateral:
             x_ec = BilateralUpsampleEdgeConv(
                 self.fin, self.fout, self.k, softmax=self.softmax,
                 axis_name=self.axis_name, dtype=self.dtype,
-                name="upsample_cov")(x, pc)
+                name="upsample_cov")(x, pc, xs=xs_in)
         else:
             x_ec = UpsampleEdgeConv(
                 self.fin, self.fout, self.k,
@@ -580,16 +677,43 @@ class BilateralBlock(nn.Module):
                 name="upsample_cov")(x)
         # post-upsample BN + LeakyReLU (reference wraps the edge conv in
         # Sequential(BatchNorm1d, LeakyReLU) / bn_uc+relu_uc)
-        x_ec = leaky_relu(BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                                    name="bn_uc")(x_ec))
+        x_ec = _pin(self.dtype, leaky_relu(
+            BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                      name="bn_uc")(x_ec)))
+        return xs, g, x_ec
 
-        xs_t = jnp.broadcast_to(xs[:, None, :], (B, 2 * N, self.fout))
-        x_out = jnp.concatenate([xs_t, x_ec], axis=-1)
-        if not self.with_g:
-            return x_out, None
-        g_t = jnp.broadcast_to(g[:, None, :], (B, 2 * N, 512))
-        g_out = jnp.concatenate([g_t, x_ec], axis=-1)
-        return x_out, g_out
+
+class PairMLP(nn.Module):
+    """:class:`MLP` with the first layer decomposed against a
+    ``(g, ec)`` pair whose concat is the reference's head input
+    (``g_out``/``x_out``, models/PDGNet_v2.py:785-788, 869-876).
+
+    ``g (B, Cg)`` is identical for every point, so its contraction is one
+    per-batch GEMM; the big per-point GEMM contracts only ``ec``'s
+    channels and the concat tensor never exists. Identical parameter tree
+    to :class:`MLP` (TorchDense_0..n / dense), so checkpoints interop.
+    """
+
+    features: Tuple[int, ...]
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g, ec):
+        cg = g.shape[-1]
+        cin = cg + ec.shape[-1]
+        f0 = self.features[0]
+        kernel, bias = _DenseParams((cin, f0), fan_in=cin,
+                                    name="TorchDense_0")()
+        dt = self.dtype
+        gd, ecd, ktop, kbot = _cast(dt, g, ec, kernel[:cg], kernel[cg:])
+        pb = jnp.matmul(gd, ktop, **_MMF32) + bias           # (B, F0) f32
+        x = _to(dt, jnp.matmul(ecd, kbot, **_MMF32) + pb[:, None, :])
+        x = leaky_relu(x)
+        for i, f in enumerate(self.features[1:-1]):
+            x = TorchDense(f, dtype=dt, name=f"TorchDense_{i + 1}")(x)
+            x = leaky_relu(x)
+        return TorchDense(self.features[-1], dtype=dt,
+                          name=f"TorchDense_{len(self.features) - 1}")(x)
 
 
 class PointGenerator(nn.Module):
@@ -639,13 +763,17 @@ class PointGenerator(nn.Module):
                             softmax=self.softmax, axis_name=an,
                             dtype=dt, name="bilateral4")
 
-        x1, g1 = b1(x)                       # (B,256,64), (B,256,544)
-        x1s = MLP([256, 64, 3], dtype=dt, name="mlp1")(g1)
-        x2, g2 = b2(x1, x1s)                 # (B,512,128), (B,512,576)
-        x2s = MLP([256, 64, 3], dtype=dt, name="mlp2")(g2)
-        x3, g3 = b3(x2, x2s)                 # (B,1024,256), (B,1024,640)
-        x3s = MLP([256, 64, 3], dtype=dt, name="mlp3")(g3)
-        x4, _ = b4(x3, x3s)                  # (B,2048,512)
-        x4s = MLP([256, 64, 3], dtype=dt, name="mlp4")(x4)
+        # every stage's x_out/g_out concat (reference models/PDGNet_v2.py:
+        # 785-788) stays a (per-batch, per-point) PAIR end to end: the
+        # broadcast halves collapse to per-batch GEMM biases in every
+        # consumer (edge head, global branch, coordinate heads)
+        xs1, g1, ec1 = b1(x)                 # (B,32), (B,512), (B,256,32)
+        x1s = PairMLP([256, 64, 3], dtype=dt, name="mlp1")(g1, ec1)
+        xs2, g2, ec2 = b2(ec1, x1s, xs_in=xs1)
+        x2s = PairMLP([256, 64, 3], dtype=dt, name="mlp2")(g2, ec2)
+        xs3, g3, ec3 = b3(ec2, x2s, xs_in=xs2)
+        x3s = PairMLP([256, 64, 3], dtype=dt, name="mlp3")(g3, ec3)
+        xs4, _, ec4 = b4(ec3, x3s, xs_in=xs3)
+        x4s = PairMLP([256, 64, 3], dtype=dt, name="mlp4")(xs4, ec4)
         # coordinate heads in fp32 regardless of compute dtype
         return tuple(o.astype(jnp.float32) for o in (x1s, x2s, x3s, x4s))

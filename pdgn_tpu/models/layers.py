@@ -149,14 +149,30 @@ class BatchNorm(nn.Module):
     def __call__(self, x):
         mask = current_batch_mask()
         if mask is None:
-            return nn.BatchNorm(
-                use_running_average=False,
-                momentum=self.momentum,
-                epsilon=self.epsilon,
-                axis_name=self.axis_name,
-                dtype=self.dtype,
-                name="bn",
-            )(x)
+            # manual stats + normalise (same math and variable tree as
+            # flax nn.BatchNorm, which this replaced): keeping the fp32
+            # upcasts as leaf ops lets XLA fuse them into the stats
+            # reduce and the normalise elementwise — nn.BatchNorm's
+            # shared upcast materialised a full fp32 copy of bf16
+            # activations (measured ~2.8 ms/fwd on the B=128 sampler)
+            axes = tuple(range(x.ndim - 1))
+            n = 1.0
+            for a in axes:
+                n *= x.shape[a]
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf, axes) / n
+            mean2 = jnp.sum(jnp.square(xf), axes) / n
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            scale, bias = _BNStatsVars(momentum=self.momentum, name="bn")(
+                mean, var)
+            s = scale * jax.lax.rsqrt(var + self.epsilon)
+            y = x.astype(jnp.float32) * s + (bias - mean * s)
+            out_dt = (self.dtype if self.dtype is not None
+                      else jnp.promote_types(x.dtype, jnp.float32))
+            return y.astype(out_dt)
         # masked path (padded batch): weighted statistics over the real
         # rows only, same variable tree as nn.BatchNorm(name="bn")
         if self.axis_name is not None:

@@ -556,8 +556,9 @@ def edge_conv_tail(
         from the head kernel.
       inte_raw: ``(B, N, (k/2)*4Fin)`` raw window-conv output (lane-flat
         block channel order, conv bias included, no BN/activation).
-      h: ``(B, N, k, H)`` weight-net hidden activation, or ``None`` for
-        the non-bilateral (ungated) stage.
+      h: ``(B, N, k, H)`` (or pre-flattened ``(B, N, k*H)``) weight-net
+        hidden activation, or ``None`` for the non-bilateral (ungated)
+        stage.
       inte_stats: ``(mean, var, scale, bias)`` of the window-conv BN,
         each ``(4Fin,)`` fp32.
       w2_params: ``(kernel (H, 2Fin), bias (2Fin,))`` of conv_all2.
@@ -586,7 +587,10 @@ def edge_conv_tail(
     isc = i_scale * jax.lax.rsqrt(i_var + epsilon)
     ish = i_bias - i_mean * isc
 
-    h_flat = None if h is None else h.reshape(B, N, k * h.shape[-1])
+    # h may arrive pre-flattened (B, N, k*H) — the generator computes it
+    # lane-flat so no (B, N, k, H) relayout ever materialises
+    h_flat = None if h is None else (
+        h if h.ndim == 3 else h.reshape(B, N, k * h.shape[-1]))
     if h is not None:
         w2k, w2b = w2_params
         m2, v2, sc2, b2 = [v.astype(jnp.float32) for v in w2_stats]

@@ -76,12 +76,12 @@ def _head_kernel(k: int, window: int, exact_gather: bool, gated: bool, dt,
     if gated:
         (q_ref, xt_ref, qsq_ref, dbsq_ref, db_hi_ref, db_lo_ref,
          pcat_hi_ref, pcat_lo_ref, ppoint_ref,
-         wn_ref, ca_ref, cb_ref, am_ref, wen_ref,
+         wn_ref, ca_ref, pb_ref, pbm_ref, am_ref, wen_ref,
          idx_ref, inte_ref, partial_ref, stats_ref,
          wfea_ref, wxyz_ref, wstats_ref) = refs
     else:
         (q_ref, xt_ref, qsq_ref, dbsq_ref, db_hi_ref, db_lo_ref,
-         wn_ref, ca_ref, cb_ref, am_ref, wen_ref,
+         wn_ref, ca_ref, pb_ref, pbm_ref, am_ref, wen_ref,
          idx_ref, inte_ref, partial_ref, stats_ref) = refs
 
     T = q_ref.shape[1]
@@ -127,9 +127,10 @@ def _head_kernel(k: int, window: int, exact_gather: bool, gated: bool, dt,
 
     x_dt = q_ref[0].astype(dt)
     nbr_flat = jnp.concatenate(nbrs, axis=-1)            # (T, k*C)
-    partial_ref[0] = _dot(x_dt, am_ref[...]) + _dot(nbr_flat, wen_ref[...])
+    partial_ref[0] = (_dot(x_dt, am_ref[...]) + _dot(nbr_flat, wen_ref[...])
+                      + pbm_ref[0])
 
-    point = _dot(x_dt, ca_ref[...]) + cb_ref[...]        # (T, 4Fin) fp32
+    point = _dot(x_dt, ca_ref[...]) + pb_ref[0]          # (T, 4Fin) fp32
     ssum = jnp.zeros((1, four_fin), jnp.float32)
     ssq = jnp.zeros((1, four_fin), jnp.float32)
     for wp in range(hk):
@@ -201,12 +202,12 @@ def _head_bwd_kernel(k: int, window: int, gated: bool, *refs):
         (x_ref, db_ref, idx_ref, inte_ref, dinte_ref, dpart_ref,
          dstats_ref, wnt_ref, went_ref, cat_ref, amt_ref,
          pcat_ref, ppoint_ref, dwfea_ref, dwxyz_ref, dwstats_ref,
-         dxc_ref, dxn_ref, dwn_ref, dca_ref, dbias_ref, dam_ref, dwen_ref,
-         dpc_ref, dpp_ref) = refs
+         dxc_ref, dxn_ref, dwn_ref, dca_ref, dpb_ref, dpbm_ref, dam_ref,
+         dwen_ref, dpc_ref, dpp_ref) = refs
     else:
         (x_ref, db_ref, idx_ref, inte_ref, dinte_ref, dpart_ref,
          dstats_ref, wnt_ref, went_ref, cat_ref, amt_ref,
-         dxc_ref, dxn_ref, dwn_ref, dca_ref, dbias_ref, dam_ref,
+         dxc_ref, dxn_ref, dwn_ref, dca_ref, dpb_ref, dpbm_ref, dam_ref,
          dwen_ref) = refs
 
     T = x_ref.shape[1]
@@ -221,12 +222,14 @@ def _head_bwd_kernel(k: int, window: int, gated: bool, *refs):
 
     @pl.when(first)
     def _():
-        for r in (dwn_ref, dca_ref, dbias_ref, dam_ref, dwen_ref):
+        for r in (dwn_ref, dca_ref, dam_ref, dwen_ref):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
     @pl.when(t == 0)
     def _():
         dxn_ref[...] = jnp.zeros(dxn_ref.shape, dxn_ref.dtype)
+        dpb_ref[...] = jnp.zeros(dpb_ref.shape, dpb_ref.dtype)
+        dpbm_ref[...] = jnp.zeros(dpbm_ref.shape, dpbm_ref.dtype)
         if gated:
             dpc_ref[...] = jnp.zeros(dpc_ref.shape, dpc_ref.dtype)
 
@@ -256,8 +259,8 @@ def _head_bwd_kernel(k: int, window: int, gated: bool, *refs):
         dys.append(dy)
         d_point = d_point + dy
 
-    dbias_ref[...] = dbias_ref[...] + jnp.sum(d_point, axis=0,
-                                              keepdims=True)
+    dpb_ref[0] = dpb_ref[0] + jnp.sum(d_point, axis=0, keepdims=True)
+    dpbm_ref[0] = dpbm_ref[0] + jnp.sum(dpart, axis=0, keepdims=True)
     d_point_b = _bf(d_point)
     dca_ref[...] = dca_ref[...] + _dot_t(x_b, d_point_b)
     dam_ref[...] = dam_ref[...] + _dot_t(x_b, dpart_b)
@@ -323,8 +326,8 @@ def _hi_lo(xf):
     return hi, lo
 
 
-def _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-                 k, window, interpret):
+def _head_pallas(x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge,
+                 pcat, ppoint, k, window, interpret):
     B, N, C = x.shape
     hk = k // 2
     four_fin = conv_a.shape[-1]
@@ -334,14 +337,23 @@ def _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
     gated = pcat is not None
 
     xf = x.astype(jnp.float32)
-    xt = jnp.swapaxes(xf, 1, 2)                          # (B, C, N)
     qsq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
     dbsq = jnp.swapaxes(qsq, 1, 2)
     if exact_gather:
+        # fp32 queries: full-precision distance products (hi/lo gathers)
+        q_op = xf
+        xt = jnp.swapaxes(xf, 1, 2)                      # (B, C, N)
         db_hi, db_lo = _hi_lo(xf)
         if gated:
             pcat_hi, pcat_lo = _hi_lo(pcat.astype(jnp.float32))
     else:
+        # bf16 inputs carry no information an fp32 upcast would add: the
+        # MXU's bf16 products accumulate exactly in fp32, so bf16
+        # operands give the same distances at single-pass MXU rate (the
+        # fp32-operand matmul runs multi-pass) and half the VMEM/HBM
+        # traffic for q/xt
+        q_op = x
+        xt = jnp.swapaxes(x, 1, 2)
         db_hi = x
         db_lo = jnp.zeros((B, 1, C), jnp.bfloat16)
         if gated:
@@ -367,17 +379,18 @@ def _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
         tspec((1, _T, C)), bspec((1, C, N)), tspec((1, _T, 1)),
         bspec((1, 1, N)), bspec((1, N, C)), bspec((1, db_lo.shape[1], C)),
     ]
-    operands = [xf, xt, qsq, dbsq, db_hi, db_lo]
+    operands = [q_op, xt, qsq, dbsq, db_hi, db_lo]
     if gated:
         in_specs += [bspec((1, N, _PROJ)),
                      bspec((1, pcat_lo.shape[1], _PROJ)),
                      tspec((1, _T, _PROJ))]
         operands += [pcat_hi, pcat_lo, ppoint.astype(dt)]
     in_specs += [cspec(conv_wn.shape), cspec(conv_a.shape),
-                 cspec((1, four_fin)),
+                 bspec((1, 1, four_fin)), bspec((1, 1, two_f)),
                  cspec(a_merge.shape), cspec(wen.shape)]
     operands += [conv_wn.astype(dt), conv_a.astype(dt),
-                 conv_bias.reshape(1, -1).astype(jnp.float32),
+                 pb_point.reshape(B, 1, four_fin).astype(jnp.float32),
+                 pb_merge.reshape(B, 1, two_f).astype(jnp.float32),
                  a_merge.astype(dt), wen.astype(dt)]
 
     out_specs = [
@@ -422,7 +435,8 @@ def _head_bwd_pallas(x, conv_wn, conv_a, a_merge, wen, pcat, ppoint,
                      idx, inte, d_inte, d_partial, d_stats,
                      d_wfea, d_wxyz, d_wstats, k, window, interpret):
     """Pallas head backward. Returns cotangents for
-    (x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint)."""
+    (x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat,
+    ppoint)."""
     B, N, C = x.shape
     hk = k // 2
     four_fin = conv_a.shape[-1]
@@ -466,13 +480,14 @@ def _head_bwd_pallas(x, conv_wn, conv_a, a_merge, wen, pcat, ppoint,
                 wnt, went, cat, amt]
     out_specs = [tspec((1, _T, C)), bspec((1, N, C)),
                  cspec((window * C, four_fin)), cspec((C, four_fin)),
-                 cspec((1, four_fin)), cspec((C, two_f)),
-                 cspec((k * C, two_f))]
+                 bspec((1, 1, four_fin)), bspec((1, 1, two_f)),
+                 cspec((C, two_f)), cspec((k * C, two_f))]
     out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.float32),
                  jax.ShapeDtypeStruct((B, N, C), jnp.float32),
                  jax.ShapeDtypeStruct((window * C, four_fin), jnp.float32),
                  jax.ShapeDtypeStruct((C, four_fin), jnp.float32),
-                 jax.ShapeDtypeStruct((1, four_fin), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, four_fin), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, two_f), jnp.float32),
                  jax.ShapeDtypeStruct((C, two_f), jnp.float32),
                  jax.ShapeDtypeStruct((k * C, two_f), jnp.float32)]
     if gated:
@@ -501,20 +516,26 @@ def _head_bwd_pallas(x, conv_wn, conv_a, a_merge, wen, pcat, ppoint,
         interpret=interpret,
     )(*operands)
 
-    dxc, dxn, dwn, dca, dbias, dam, dwen = outs[:7]
+    dxc, dxn, dwn, dca, dpb, dpbm, dam, dwen = outs[:8]
     d_x = (dxc + dxn).astype(dt)
-    d_conv_bias = dbias.reshape(-1)
+    d_pb = dpb.reshape(B, four_fin)
+    d_pbm = dpbm.reshape(B, two_f)
     if not gated:
-        return (d_x, dwn, dca, d_conv_bias, dam, dwen, None, None)
-    dpc, dpp = outs[7:]
-    return (d_x, dwn, dca, d_conv_bias, dam, dwen,
+        return (d_x, dwn, dca, d_pb, dam, dwen, d_pbm, None, None)
+    dpc, dpp = outs[8:]
+    return (d_x, dwn, dca, d_pb, dam, dwen, d_pbm,
             dpc.astype(pcat.dtype), dpp.astype(ppoint.dtype))
 
 
-def _head_reference_given_idx(x, conv_wn, conv_a, conv_bias, a_merge, wen,
-                              pcat, ppoint, idx, k, window):
+def _head_reference_given_idx(x, conv_wn, conv_a, pb_point, a_merge, wen,
+                              pb_merge, pcat, ppoint, idx, k, window):
     """Recompute gathers + conv + partial + stats for a fixed kNN graph —
-    the VJP body and (with idx from ops.edges) the non-TPU fallback."""
+    the VJP body and (with idx from ops.edges) the non-TPU fallback.
+
+    ``pb_point (B, 4Fin)`` / ``pb_merge (B, 2F)`` are the per-batch bias
+    terms (conv bias plus, for split inputs, every contraction of the
+    per-batch broadcast half — see :func:`edge_conv_head`).
+    """
     from pdgn_tpu.ops.grouping import grouping
 
     B, N, C = x.shape
@@ -525,10 +546,11 @@ def _head_reference_given_idx(x, conv_wn, conv_a, conv_bias, a_merge, wen,
     nbr = grouping(x, idx)                               # (B, N, k, C)
     nbr_flat = nbr.reshape(B, N, k * C)
     partial = (jnp.matmul(x, a_merge.astype(dt), **_F32)
-               + jnp.matmul(nbr_flat, wen.astype(dt), **_F32))
+               + jnp.matmul(nbr_flat, wen.astype(dt), **_F32)
+               + pb_merge.astype(jnp.float32)[:, None, :])
 
     point = (jnp.matmul(x, conv_a.astype(dt), **_F32)
-             + conv_bias.astype(jnp.float32))            # (B, N, 4Fin) fp32
+             + pb_point.astype(jnp.float32)[:, None, :])  # (B, N, 4Fin) fp32
     parts = []
     wnr = conv_wn.astype(dt).reshape(window, C, four_fin)
     for wp in range(hk):
@@ -562,25 +584,25 @@ def _head_reference_given_idx(x, conv_wn, conv_a, conv_bias, a_merge, wen,
     return inte, partial, stats, wfea, wxyz, wstats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _head(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-          k, window, interpret):
-    return _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen,
-                        pcat, ppoint, k, window, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _head(x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat,
+          ppoint, k, window, interpret):
+    return _head_pallas(x, conv_wn, conv_a, pb_point, a_merge, wen,
+                        pb_merge, pcat, ppoint, k, window, interpret)
 
 
-def _head_fwd(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-              k, window, interpret):
-    out = _head_pallas(x, conv_wn, conv_a, conv_bias, a_merge, wen,
-                       pcat, ppoint, k, window, interpret)
+def _head_fwd(x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat,
+              ppoint, k, window, interpret):
+    out = _head_pallas(x, conv_wn, conv_a, pb_point, a_merge, wen,
+                       pb_merge, pcat, ppoint, k, window, interpret)
     idx, inte = out[0], out[1]
-    return out, (x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-                 idx, inte)
+    return out, (x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge,
+                 pcat, ppoint, idx, inte)
 
 
 def _head_bwd(k, window, interpret, res, cts):
-    x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint, idx, inte \
-        = res
+    (x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat, ppoint,
+     idx, inte) = res
     if interpret or head_fusion_ok(x, k):
         d_inte, d_partial, d_stats = cts[1], cts[2], cts[3]
         d_wfea = d_wxyz = d_wstats = None
@@ -594,21 +616,23 @@ def _head_bwd(k, window, interpret, res, cts):
     if pcat is None:
         cts_ref = cts_ref[:3]
 
-        def f(x, conv_wn, conv_a, conv_bias, a_merge, wen):
+        def f(x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge):
             return _head_reference_given_idx(
-                x, conv_wn, conv_a, conv_bias, a_merge, wen, None, None,
-                idx, k, window)[:3]
+                x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge,
+                None, None, idx, k, window)[:3]
 
-        _, vjp = jax.vjp(f, x, conv_wn, conv_a, conv_bias, a_merge, wen)
+        _, vjp = jax.vjp(f, x, conv_wn, conv_a, pb_point, a_merge, wen,
+                         pb_merge)
         return vjp(cts_ref) + (None, None)
 
-    def f(x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint):
+    def f(x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat,
+          ppoint):
         return _head_reference_given_idx(
-            x, conv_wn, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-            idx, k, window)
+            x, conv_wn, conv_a, pb_point, a_merge, wen, pb_merge, pcat,
+            ppoint, idx, k, window)
 
-    _, vjp = jax.vjp(f, x, conv_wn, conv_a, conv_bias, a_merge, wen,
-                     pcat, ppoint)
+    _, vjp = jax.vjp(f, x, conv_wn, conv_a, pb_point, a_merge, wen,
+                     pb_merge, pcat, ppoint)
     return vjp(cts_ref)
 
 
@@ -640,6 +664,7 @@ def edge_conv_head(
     pcat: Optional[jnp.ndarray] = None,
     ppoint: Optional[jnp.ndarray] = None,
     *,
+    xs: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ):
     """Fused stage head: self-kNN (self excluded), neighbour gathers,
@@ -647,16 +672,29 @@ def edge_conv_head(
     central+neighbour partial and (bilateral stages) the weight-net front.
 
     Args:
-      x: ``(B, N, C)`` point features (compute dtype).
-      conv_kernel: ``(1, W, 2C, 4Fin)`` window-conv kernel, block channel
-        order (the generator's param-side permutation already applied).
+      x: ``(B, N, C)`` point features (compute dtype). With ``xs`` set,
+        this is only the *per-point* half of the stage input (the
+        reference's ``x_ec``); the full features are conceptually
+        ``concat([broadcast(xs), x])``.
+      conv_kernel: ``(1, W, 2Cf, 4Fin)`` window-conv kernel, block channel
+        order (the generator's param-side permutation already applied);
+        ``Cf = C + xs-width`` is the full channel count.
       conv_bias: ``(4Fin,)``.
-      merge_kernel: ``(2k*2C, 2F)`` merge weight (reference slot layout).
+      merge_kernel: ``(2k*2Cf, 2F)`` merge weight (reference slot layout).
       k: neighbour count (even).
       pcat: ``(B, N, 32)`` weight-net projections ``[x@Wn_fea | pc@Wn_xyz]``
-        (bilateral stages only).
+        (bilateral stages only; with ``xs`` the fea half contracts only
+        the per-point channels — the per-batch part must already be folded
+        into ``ppoint`` by the caller).
       ppoint: ``(B, N, 32)`` matching central terms
         ``[x@(Wc-Wn)_fea + b_fea | pc@(Wc-Wn)_xyz + b_xyz]``.
+      xs: optional ``(B, Cs)`` per-batch broadcast half of the stage input
+        (the reference's global ``xs`` feature, identical for every
+        point). Because it is constant per cloud it contributes nothing
+        to the pairwise feature distances and every contraction of it
+        collapses to a per-batch bias — the kernel then runs at the
+        per-point half's channel width (the concat never materialises and
+        the head's MXU work drops by ~the xs fraction of the channels).
 
     Returns:
       ``idx (B, N, k)`` int32; ``inte (B, N, (k/2)*4Fin)`` raw window-conv
@@ -671,28 +709,58 @@ def edge_conv_head(
     window = conv_kernel.shape[1]
     four_fin = conv_kernel.shape[-1]
     two_f = merge_kernel.shape[-1]
+    cx = 0 if xs is None else xs.shape[-1]
+    cf = cx + C                                          # full channels
 
-    wc = conv_kernel[0, :, :C, :]
-    wn = conv_kernel[0, :, C:, :]
-    conv_a = jnp.sum(wc - wn, axis=0)                    # (C, 4Fin)
-    wn_flat = wn.reshape(window * C, four_fin)
+    wc = conv_kernel[0, :, :cf, :]
+    wn = conv_kernel[0, :, cf:, :]
+    conv_a_full = jnp.sum(wc - wn, axis=0)               # (Cf, 4Fin)
 
-    kr = merge_kernel.reshape(2 * k, 2 * C, two_f)
-    a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
-    wen = kr[:k, C:, :].reshape(k * C, two_f)
+    kr = merge_kernel.reshape(2 * k, 2 * cf, two_f)
+    a_merge_full = jnp.sum(kr[:k, :cf, :] - kr[:k, cf:, :], axis=0)
+    wen_full = kr[:k, cf:, :]                            # (k, Cf, 2F)
+
+    if xs is None:
+        conv_a = conv_a_full
+        wn_flat = wn.reshape(window * cf, four_fin)
+        a_merge = a_merge_full
+        wen = wen_full.reshape(k * cf, two_f)
+        pb_point = jnp.broadcast_to(
+            conv_bias.astype(jnp.float32)[None, :], (B, four_fin))
+        pb_merge = jnp.zeros((B, two_f), jnp.float32)
+    else:
+        # per-batch half: every xs contraction is a (B, Cs) GEMM bias
+        xsf = xs.astype(jnp.float32)
+        conv_a = conv_a_full[cx:]
+        wn_flat = wn[:, cx:, :].reshape(window * C, four_fin)
+        m_point = conv_a_full[:cx] + jnp.sum(wn[:, :cx, :], axis=0)
+        pb_point = (jnp.matmul(xsf, m_point.astype(jnp.float32), **_F32)
+                    + conv_bias.astype(jnp.float32))
+        a_merge = a_merge_full[cx:]
+        wen = wen_full[:, cx:, :].reshape(k * C, two_f)
+        m_merge = a_merge_full[:cx] + jnp.sum(wen_full[:, :cx, :], axis=0)
+        pb_merge = jnp.matmul(xsf, m_merge.astype(jnp.float32), **_F32)
 
     if head_fusion_ok(x, k) or interpret:
         idx, inte, partial, stats, wfea, wxyz, wstats = _head(
-            x, wn_flat, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-            k, window, interpret)
+            x, wn_flat, conv_a, pb_point, a_merge, wen, pb_merge,
+            pcat, ppoint, k, window, interpret)
     else:
         from pdgn_tpu.ops.edges import _neighbor_idx
 
-        idx = _neighbor_idx(x, k)
+        # exact fallback: the kNN graph is built from the FULL features
+        # (identical ranking — the broadcast half cancels — but the fp32
+        # rounding matches the reference's full-concat distance exactly)
+        if xs is None:
+            x_knn = x
+        else:
+            x_knn = jnp.concatenate(
+                [jnp.broadcast_to(xs[:, None, :], (B, N, cx)), x], axis=-1)
+        idx = _neighbor_idx(x_knn, k)
         inte, partial, stats, wfea, wxyz, wstats = \
             _head_reference_given_idx(
-                x, wn_flat, conv_a, conv_bias, a_merge, wen, pcat, ppoint,
-                idx, k, window)
+                x, wn_flat, conv_a, pb_point, a_merge, wen, pb_merge,
+                pcat, ppoint, idx, k, window)
 
     count = B * N * hk
     mean = stats[0] / count

@@ -93,12 +93,33 @@ def test_generator_parity_with_torch(ref_models, tmp_path):
     x = leaky_relu(h).reshape(B, 32, 128).transpose(0, 2, 1)
     assert rel(x, t2j(tx)) < 1e-4
 
-    def runb(name, fin, bilateral, with_g, *args):
+    def runb(name, fin, bilateral, with_g, x_full, pc=None):
+        """Feed a torch x_out concat to the pair-interface block and
+        reconstruct the (x_out, g_out) concats from the returned pair.
+
+        For stages 2-4 the first fin/2 channels of the torch intermediate
+        are the per-batch broadcast half (identical across points)."""
         mod = BilateralBlock(fin, fin, 10, bilateral=bilateral,
                              with_g=with_g, name=name)
-        out, _ = mod.apply({"params": p[name], "batch_stats": st[name]},
-                           *args, mutable=["batch_stats"])
-        return out
+        if bilateral:
+            args = (x_full[..., fin // 2:], pc)
+            kwargs = dict(xs_in=x_full[:, 0, :fin // 2])
+        else:
+            args = (x_full,)
+            kwargs = {}
+        (xs_new, g, ec), _ = mod.apply(
+            {"params": p[name], "batch_stats": st[name]},
+            *args, mutable=["batch_stats"], **kwargs)
+        B2, N2 = ec.shape[0], ec.shape[1]
+        x_out = jnp.concatenate(
+            [jnp.broadcast_to(xs_new[:, None, :], (B2, N2, xs_new.shape[-1])),
+             ec], axis=-1)
+        if g is None:
+            return x_out, None
+        g_out = jnp.concatenate(
+            [jnp.broadcast_to(g[:, None, :], (B2, N2, g.shape[-1])), ec],
+            axis=-1)
+        return x_out, g_out
 
     def runm(name, xin):
         return MLP([256, 64, 3], name=name).apply({"params": p[name]}, xin)

@@ -5,6 +5,7 @@ The jnp implementations are themselves validated against float64 oracles
 oracle == jnp == pallas.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -157,9 +158,11 @@ def test_edge_head_matches_reference_given_idx():
     kr = mk.reshape(2 * 6, 2 * C, mk.shape[-1])
     a_merge = jnp.sum(kr[:6, :C, :] - kr[:6, C:, :], axis=0)
     wen = kr[:6, C:, :].reshape(6 * C, mk.shape[-1])
+    pb = jnp.broadcast_to(cb[None, :], (x.shape[0], four_fin))
+    pbm = jnp.zeros((x.shape[0], mk.shape[-1]), jnp.float32)
     ref = _head_reference_given_idx(
-        x, wn.reshape(window * C, four_fin), conv_a, cb, a_merge, wen,
-        pcat, pp, idx, 6, window)
+        x, wn.reshape(window * C, four_fin), conv_a, pb, a_merge, wen,
+        pbm, pcat, pp, idx, 6, window)
     np.testing.assert_allclose(np.asarray(inte), np.asarray(ref[0]),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(partial), np.asarray(ref[1]),
@@ -173,6 +176,81 @@ def test_edge_head_matches_reference_given_idx():
     np.testing.assert_allclose(np.asarray(im),
                                np.asarray(ref[2][0]) / count, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_edge_head_split_input_matches_concat():
+    """``xs``-split inputs must reproduce the full-concat math exactly:
+    the per-batch broadcast half cancels in the kNN distances and folds
+    into per-batch bias terms everywhere else."""
+    from pdgn_tpu.ops.pallas.edge_head import (_head_reference_given_idx,
+                                               edge_conv_head)
+
+    rng = np.random.RandomState(21)
+    B, N, k, cx = 2, 128, 6, 8
+    x, ck, cb, mk, pcat, pp = _head_inputs(rng, B=B, N=N, C=16, k=k)
+    C = x.shape[-1]
+    window = ck.shape[1]
+    four_fin = ck.shape[-1]
+    xs = x[:, 0, :cx]                       # per-batch half
+    ec = x[:, :, cx:]                       # per-point half
+    x_full = jnp.concatenate(
+        [jnp.broadcast_to(xs[:, None, :], (B, N, cx)), ec], axis=-1)
+
+    (idx_s, inte_s, partial_s, (im_s, iv_s),
+     wfea_s, wxyz_s, fs_s, xsst_s) = edge_conv_head(
+        ec, ck, cb, mk, k, pcat, pp, xs=xs, interpret=True)
+
+    # same graph as an ec-only oracle (xs cancels in every distance)
+    np.testing.assert_array_equal(np.asarray(idx_s),
+                                  _bf16_knn_oracle(ec, k))
+
+    # full-concat math on the split path's graph
+    wc, wn = ck[0, :, :C, :], ck[0, :, C:, :]
+    conv_a = jnp.sum(wc - wn, axis=0)
+    kr = mk.reshape(2 * k, 2 * C, mk.shape[-1])
+    a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
+    wen = kr[:k, C:, :].reshape(k * C, mk.shape[-1])
+    pb = jnp.broadcast_to(cb[None, :], (B, four_fin))
+    pbm = jnp.zeros((B, mk.shape[-1]), jnp.float32)
+    ref = _head_reference_given_idx(
+        x_full, wn.reshape(window * C, four_fin), conv_a, pb, a_merge,
+        wen, pbm, pcat, pp, idx_s, k, window)
+    np.testing.assert_allclose(np.asarray(inte_s), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(partial_s), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wfea_s), np.asarray(ref[3]),
+                               rtol=1e-4, atol=1e-4)
+    count = B * N * (k // 2)
+    np.testing.assert_allclose(np.asarray(im_s),
+                               np.asarray(ref[2][0]) / count,
+                               rtol=1e-4, atol=1e-6)
+
+    # gradients: the split custom VJP vs differentiating the full concat
+    def loss_split(ec, xs, ck):
+        out = edge_conv_head(ec, ck, cb, mk, k, pcat, pp, xs=xs,
+                             interpret=True)
+        return (jnp.sum(out[1] ** 2) + jnp.sum(out[2] ** 2)
+                + jnp.sum(out[3][0]))
+
+    def loss_full(ec, xs, ck):
+        xf = jnp.concatenate(
+            [jnp.broadcast_to(xs[:, None, :], (B, N, cx)), ec], axis=-1)
+        wc, wn = ck[0, :, :C, :], ck[0, :, C:, :]
+        conv_a = jnp.sum(wc - wn, axis=0)
+        inte, partial, stats = _head_reference_given_idx(
+            xf, wn.reshape(window * C, four_fin), conv_a, pb, a_merge,
+            wen, pbm, pcat, pp, idx_s, k, window)[:3]
+        return (jnp.sum(inte ** 2) + jnp.sum(partial ** 2)
+                + jnp.sum(stats[0]) / count)
+
+    g1 = jax.grad(loss_split, argnums=(0, 1, 2))(ec, xs, ck)
+    g2 = jax.grad(loss_full, argnums=(0, 1, 2))(ec, xs, ck)
+    for name, a, b in zip(("ec", "xs", "ck"), g1, g2):
+        b_np = np.asarray(b)
+        scale = max(np.abs(b_np).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(a), b_np, rtol=1.5e-2,
+                                   atol=1.5e-2 * scale, err_msg=name)
 
 
 def test_edge_tail_matches_reference():
@@ -284,9 +362,11 @@ def test_edge_head_gradients_match_reference_composition():
         kr = mk.reshape(2 * k, 2 * C, mk.shape[-1])
         a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
         wen = kr[:k, C:, :].reshape(k * C, mk.shape[-1])
+        pb = jnp.broadcast_to(cb[None, :], (x.shape[0], four_fin))
+        pbm = jnp.zeros((x.shape[0], mk.shape[-1]), jnp.float32)
         inte, partial, stats, wfea, wxyz, _ = _head_reference_given_idx(
-            x, wn.reshape(window * C, four_fin), conv_a, cb, a_merge, wen,
-            pcat, pp, idx, k, window)
+            x, wn.reshape(window * C, four_fin), conv_a, pb, a_merge, wen,
+            pbm, pcat, pp, idx, k, window)
         count = x.shape[0] * x.shape[1] * (k // 2)
         m = stats[0] / count
         v = stats[1] / count - m ** 2
@@ -345,10 +425,12 @@ def test_edge_head_backward_kernel_exact_at_fp32(gated, monkeypatch):
         kr = mk.reshape(2 * k, 2 * C, mk.shape[-1])
         a_merge = jnp.sum(kr[:k, :C, :] - kr[:k, C:, :], axis=0)
         wen = kr[:k, C:, :].reshape(k * C, mk.shape[-1])
+        pb = jnp.broadcast_to(cb[None, :], (x.shape[0], four_fin))
+        pbm = jnp.zeros((x.shape[0], mk.shape[-1]), jnp.float32)
         inte, partial, stats, wfea, wxyz, wstats = \
             eh._head_reference_given_idx(
-                x, wn.reshape(window * C, four_fin), conv_a, cb, a_merge,
-                wen, pcat, pp, idx, k, window)
+                x, wn.reshape(window * C, four_fin), conv_a, pb, a_merge,
+                wen, pbm, pcat, pp, idx, k, window)
         count = x.shape[0] * x.shape[1] * (k // 2)
         m = stats[0] / count
         v = stats[1] / count - m ** 2
@@ -415,3 +497,41 @@ def test_local_mean_cov_gradient_matches_reference():
     g2 = _jax.grad(loss_r)(src)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_slot_moment_stats_matches_jnp():
+    """Pallas slot stats == jnp reshape path (sums + second moment),
+    and the custom backward == differentiating the jnp formulation."""
+    from pdgn_tpu.ops.pallas.slot_stats import (_jnp_stats,
+                                                slot_moment_stats)
+
+    rng = np.random.RandomState(3)
+    B, N, k, H = 2, 128, 6, 16
+    h = jnp.asarray(rng.randn(B, N, k * H).astype(np.float32))
+
+    s_k, S_k = slot_moment_stats(h, k, True)
+    s_j, S_j = _jnp_stats(h, k)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_j),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(S_k), np.asarray(S_j),
+                               rtol=1e-5, atol=1e-4)
+
+    def loss_k(h):
+        s, S = slot_moment_stats(h, k, True)
+        return jnp.sum(s * jnp.cos(s)) + jnp.sum(S ** 2)
+
+    def loss_j(h):
+        s, S = _jnp_stats(h, k)
+        return jnp.sum(s * jnp.cos(s)) + jnp.sum(S ** 2)
+
+    g1 = jax.grad(loss_k)(h)
+    g2 = jax.grad(loss_j)(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-3)
+
+    # bf16 inputs: products are exact in fp32, so the kernel still agrees
+    hb = h.astype(jnp.bfloat16)
+    s_b, S_b = slot_moment_stats(hb, k, True)
+    s_r, S_r = _jnp_stats(hb.astype(jnp.float32), k)
+    np.testing.assert_allclose(np.asarray(S_b), np.asarray(S_r),
+                               rtol=1e-5, atol=1e-4)
