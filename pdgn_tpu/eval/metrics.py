@@ -79,9 +79,14 @@ def _pair_tile_impl(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
     # CD-only request must not take them
     if impl == "pallas" and with_emd:
         if N % 256 == 0:
+            import os
+
             from pdgn_tpu.ops.pallas import fused_cd_emd
 
-            cd, cost = fused_cd_emd(a, b)
+            # opt-in accuracy/speed trade: bf16 storage for the kernel's
+            # cached exp-base matrix (see fused_cd_emd docstring / PERF.md)
+            bf16_cache = bool(os.environ.get("PDGN_EMD_BF16_CACHE"))
+            cd, cost = fused_cd_emd(a, b, bf16_cache=bf16_cache)
             return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
         impl = "xla"  # kernel shape requirement unmet: next-fastest path
     if impl == "xla" and with_emd:

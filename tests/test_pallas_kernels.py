@@ -34,6 +34,18 @@ def test_fused_cd_emd_matches_jnp(clouds):
         np.asarray(cost), np.asarray(match_cost(x1, x2)), rtol=2e-3)
 
 
+def test_fused_cd_emd_bf16_cache(clouds):
+    """PDGN_EMD_BF16_CACHE path: CD is untouched (computed before the
+    cache exists); EMD cost stays within the documented ~0.5% envelope
+    of the exact path."""
+    x1, x2 = clouds
+    cd, cost = fused_cd_emd(x1, x2, interpret=True, bf16_cache=True)
+    np.testing.assert_allclose(
+        np.asarray(cd), np.asarray(chamfer_cd(x1, x2)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cost), np.asarray(match_cost(x1, x2)), rtol=6e-3)
+
+
 def test_fused_cd_emd_identical_pairs(clouds):
     x1, _ = clouds
     cd, cost = fused_cd_emd(x1, x1, interpret=True)
