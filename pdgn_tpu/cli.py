@@ -97,6 +97,18 @@ def check_args(args: argparse.Namespace) -> argparse.Namespace:
 def main(argv=None) -> None:
     args = parse_args(argv)
 
+    # persistent XLA compile cache: the full train step takes minutes to
+    # compile on TPU; cache it across runs. JAX_COMPILATION_CACHE_DIR (or
+    # PDGN_JAX_CACHE) overrides; PDGN_JAX_CACHE=0 disables.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.environ.get("PDGN_JAX_CACHE", "/tmp/pdgn_tpu_jax_cache"))
+    if cache_dir and cache_dir != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # random seed per train run, like the reference (main.py:79-82);
     # the test phase re-seeds deterministically inside the trainer.
     args.manualSeed = random.randint(1, 10000)
