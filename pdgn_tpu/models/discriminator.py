@@ -23,40 +23,54 @@ from pdgn_tpu.models.layers import DenseBR, TorchDense, leaky_relu
 
 
 class PointDiscriminator(nn.Module):
-    """Shared implementation parameterised by the conv/head widths."""
+    """Shared implementation parameterised by the conv/head widths.
+
+    ``dtype`` (e.g. ``bfloat16``) applies to the large per-point conv
+    stack only — BN statistics, the pooled vector and the FC head stay
+    fp32, mirroring the generator's compute-dtype policy.
+    """
 
     conv_features: Sequence[int]
     head_features: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """``x (B, N, 3)`` -> logits ``(B, 1)``."""
         for i, f in enumerate(self.conv_features):
             x = DenseBR(f, negative_slope=0.01, axis_name=self.axis_name,
-                        name=f"conv{i+1}")(x)
+                        dtype=self.dtype, name=f"conv{i+1}")(x)
         x = jnp.max(x, axis=1)                       # global max over points
+        x = x.astype(jnp.float32)
         for i, f in enumerate(self.head_features[:-1]):
             x = TorchDense(f, name=f"fc{i+1}")(x)
             x = leaky_relu(x)
         return TorchDense(self.head_features[-1], name="fc_out")(x)
 
 
-def PointDiscriminator1(axis_name: Optional[str] = None) -> PointDiscriminator:
+def PointDiscriminator1(axis_name: Optional[str] = None,
+                        dtype: Optional[str] = None) -> PointDiscriminator:
     """256-point discriminator (reference models/PDGNet_v2.py:882-913)."""
-    return PointDiscriminator((64, 128, 256), (128, 64, 1), axis_name)
+    return PointDiscriminator((64, 128, 256), (128, 64, 1), axis_name, dtype)
 
 
-def PointDiscriminator2(axis_name: Optional[str] = None) -> PointDiscriminator:
+def PointDiscriminator2(axis_name: Optional[str] = None,
+                        dtype: Optional[str] = None) -> PointDiscriminator:
     """512-point discriminator (reference models/PDGNet_v2.py:915-949)."""
-    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name)
+    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name,
+                              dtype)
 
 
-def PointDiscriminator3(axis_name: Optional[str] = None) -> PointDiscriminator:
+def PointDiscriminator3(axis_name: Optional[str] = None,
+                        dtype: Optional[str] = None) -> PointDiscriminator:
     """1024-point discriminator (reference models/PDGNet_v2.py:951-985)."""
-    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name)
+    return PointDiscriminator((64, 128, 256, 512), (256, 64, 1), axis_name,
+                              dtype)
 
 
-def PointDiscriminator4(axis_name: Optional[str] = None) -> PointDiscriminator:
+def PointDiscriminator4(axis_name: Optional[str] = None,
+                        dtype: Optional[str] = None) -> PointDiscriminator:
     """2048-point discriminator (reference models/PDGNet_v2.py:987-1023)."""
-    return PointDiscriminator((64, 128, 256, 1024), (512, 256, 64, 1), axis_name)
+    return PointDiscriminator((64, 128, 256, 1024), (512, 256, 64, 1),
+                              axis_name, dtype)

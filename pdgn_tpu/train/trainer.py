@@ -139,9 +139,15 @@ class PDGNTrainer:
                                         softmax=softmax,
                                         base_points=cfg.base_points,
                                         dtype=cfg.compute_dtype)
+        # dtype=None (not "float32") in the default config keeps the
+        # module tree — and so the persistent-compile-cache key — identical
+        # to the dtype-less discriminators
+        d_dtype = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
         self.discriminators = (
-            PointDiscriminator1(), PointDiscriminator2(),
-            PointDiscriminator3(), PointDiscriminator4(),
+            PointDiscriminator1(dtype=d_dtype),
+            PointDiscriminator2(dtype=d_dtype),
+            PointDiscriminator3(dtype=d_dtype),
+            PointDiscriminator4(dtype=d_dtype),
         )
         # full mesh always: a batch that does not divide the device count
         # is padded up (masked statistics/losses) instead of dropping chips
