@@ -25,33 +25,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def bench_sampling(batch: int = 128, iters: int = 30) -> float:
     """bf16 compute path (fp32 params, BN statistics and coordinate
-    heads) — the production sampling configuration."""
+    heads) — the production sampling configuration, through the
+    bulk-generation API (one dispatch for all ``iters`` batches;
+    pdgn_tpu.train.make_batched_sampler)."""
     from pdgn_tpu.models import PointGenerator
-    from pdgn_tpu.train import TrainConfig, make_sampler
+    from pdgn_tpu.train import TrainConfig, make_batched_sampler
 
     model = PointGenerator(dtype="bfloat16")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((batch, 128)))
-    sampler = jax.jit(
-        make_sampler(model, TrainConfig()), static_argnames=("batch_size",))
+    many = jax.jit(make_batched_sampler(model, TrainConfig()),
+                   static_argnames=("batch_size",))
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
 
-    def run(key):
-        return sampler(variables["params"], variables["batch_stats"], key,
-                       batch_size=batch)
+    def run():
+        out = many(variables["params"], variables["batch_stats"], keys,
+                   batch_size=batch)
+        return jnp.sum(out[-1])
 
-    # warm up the full timed-loop op set, INCLUDING the accumulator adds
-    # (their one-off jit compiles otherwise land inside the timed region)
-    acc = jnp.zeros((), jnp.float32)
-    for i in range(2):
-        out = run(jax.random.PRNGKey(i))
-        acc = acc + jnp.sum(out[3])
-    float(acc)  # force completion (the axon relay's block_until_ready
-    # returns at dispatch, not completion)
-    acc = jnp.zeros((), jnp.float32)
+    # warm-up; float() forces completion (the axon relay's
+    # block_until_ready returns at dispatch, not completion)
+    float(run())
+    float(run())
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(jax.random.PRNGKey(i))
-        acc = acc + jnp.sum(out[3])  # device-side chain
+    acc = run()
     float(acc)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt

@@ -72,6 +72,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                              'heads stay fp32). bfloat16 roughly matches '
                              'the TF32 regime the reference trains in on '
                              'Ampere GPUs; default fp32')
+    parser.add_argument('--d_compute_dtype', type=str, default=None,
+                        choices=[None, 'float32', 'bfloat16'],
+                        help='discriminator conv-stack dtype. Stays fp32 '
+                             'even under --compute_dtype bfloat16: bf16 '
+                             'discriminators measured as collapsing LSGAN '
+                             'training (see PERF.md)')
     return check_args(parser.parse_args(argv))
 
 
@@ -149,6 +155,7 @@ def main(argv=None) -> None:
         max_steps_per_epoch=args.max_steps_per_epoch,
         profile_dir=args.profile_dir,
         compute_dtype=args.compute_dtype,
+        d_compute_dtype=args.d_compute_dtype,
     )
     trainer = PDGNTrainer(cfg)
     trainer.build_model()

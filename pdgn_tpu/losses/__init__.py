@@ -7,6 +7,7 @@ from pdgn_tpu.losses.shape_preserving import (
     compute_mean_covariance,
     get_local_pair,
     shape_preserving_loss,
+    shape_preserving_terms,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "match_cost",
     "mse_loss",
     "shape_preserving_loss",
+    "shape_preserving_terms",
 ]

@@ -79,6 +79,39 @@ def get_local_pair(
     return like_mu, like_cov
 
 
+def shape_preserving_terms(
+    clouds: Tuple[jnp.ndarray, ...],
+    nsample: int = 20,
+    mask=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``(mu_total, cov_total)`` over all resolution pairs, deduplicated.
+
+    Pair (a, b) needs the *self* statistics of the coarser cloud
+    (``local_mean_cov(pt_a, pt_a)``) and the pair-specific cross
+    statistics of ``pt_b`` centred on ``pt_a``. The self statistics are
+    identical across every pair sharing the coarse cloud, so they are
+    computed once per resolution here (the reference recomputes them per
+    pair, models/PDGNet_v2.py:232-237 — same values, ~3x the kernel
+    launches for the coarse clouds).
+    """
+    from pdgn_tpu.ops.pallas.local_stats import local_mean_cov
+
+    mu_total = 0.0
+    cov_total = 0.0
+    self_stats = {
+        i: local_mean_cov(clouds[i], clouds[i], nsample)
+        for i in range(len(clouds) - 1)
+    }
+    for i in range(len(clouds)):
+        for j in range(i + 1, len(clouds)):
+            M = clouds[i].shape[1]
+            mu1, cov1 = self_stats[i]
+            mu2, cov2 = local_mean_cov(clouds[j], clouds[i], nsample)
+            mu_total = mu_total + chamfer_loss(mu1, mu2, mask) / float(M)
+            cov_total = cov_total + chamfer_loss(cov1, cov2, mask) / float(M)
+    return mu_total, cov_total
+
+
 def shape_preserving_loss(
     clouds: Tuple[jnp.ndarray, ...],
     nsample: int = 20,
@@ -93,12 +126,5 @@ def shape_preserving_loss(
     version: v2 uses 1.0/1.0 (``:251-252``), v1 uses 1.0/5.0
     (models/PDGNet.py:262-263).
     """
-    mu_total = 0.0
-    cov_total = 0.0
-    for i in range(len(clouds)):
-        for j in range(i + 1, len(clouds)):
-            like_mu, like_cov = get_local_pair(clouds[i], clouds[j], nsample,
-                                               mask=mask)
-            mu_total = mu_total + like_mu
-            cov_total = cov_total + like_cov
+    mu_total, cov_total = shape_preserving_terms(clouds, nsample, mask=mask)
     return mu_weight * mu_total + cov_weight * cov_total

@@ -19,7 +19,8 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pdgn_tpu.models.layers import DenseBR, TorchDense, leaky_relu
+from pdgn_tpu.models.layers import (DenseBR, DenseBRPool, TorchDense,
+                                    leaky_relu)
 
 
 class PointDiscriminator(nn.Module):
@@ -34,14 +35,28 @@ class PointDiscriminator(nn.Module):
     head_features: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
+    # paired mode: accept a stacked ``(2, B, N, 3)`` real|fake input and
+    # evaluate both halves in one pass with *independent* per-half BN
+    # statistics — the same math as two sequential calls (the reference's
+    # D(real); D(fake) order, models/PDGNet_v2.py:716-739) in half the
+    # kernel dispatches. Parameter/stat trees are identical either way.
+    paired: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """``x (B, N, 3)`` -> logits ``(B, 1)``."""
-        for i, f in enumerate(self.conv_features):
+        """``x (B, N, 3)`` -> logits ``(B, 1)``; paired mode maps
+        ``(2, B, N, 3)`` -> ``(2, B, 1)``."""
+        p = self.paired and x.ndim == 4
+        for i, f in enumerate(self.conv_features[:-1]):
             x = DenseBR(f, negative_slope=0.01, axis_name=self.axis_name,
-                        dtype=self.dtype, name=f"conv{i+1}")(x)
-        x = jnp.max(x, axis=1)                       # global max over points
+                        dtype=self.dtype, paired=p, name=f"conv{i+1}")(x)
+        # last conv + BN + LeakyReLU + global max fused: the pool commutes
+        # with the monotone per-channel affine, so the widest activation
+        # is reduced straight from the GEMM (see DenseBRPool)
+        x = DenseBRPool(self.conv_features[-1], negative_slope=0.01,
+                        axis_name=self.axis_name, dtype=self.dtype,
+                        paired=p,
+                        name=f"conv{len(self.conv_features)}")(x)
         x = x.astype(jnp.float32)
         for i, f in enumerate(self.head_features[:-1]):
             x = TorchDense(f, name=f"fc{i+1}")(x)

@@ -144,10 +144,18 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
+    # paired mode: a rank-4 ``(2, B, ..., C)`` input is treated as two
+    # *independent* batches (real | fake) sharing one layer: statistics are
+    # computed per leading half and the running averages fold the two
+    # updates sequentially (half 0 first) — bit-for-bit the same math as
+    # two separate calls, in one pass. See train_step.d_update.
+    paired: bool = False
 
     @nn.compact
     def __call__(self, x):
         mask = current_batch_mask()
+        if self.paired and x.ndim == 4:
+            return self._paired_call(x, mask)
         if mask is None:
             # manual stats + normalise (same math and variable tree as
             # flax nn.BatchNorm, which this replaced): keeping the fp32
@@ -188,6 +196,43 @@ class BatchNorm(nn.Module):
             x.dtype, jnp.float32)
         return y.astype(out_dt)
 
+    def _paired_call(self, x, mask):
+        """Two stacked batches ``(2, B, ..., C)`` through one BN layer."""
+        if self.axis_name is not None and mask is not None:
+            raise NotImplementedError(
+                "masked BatchNorm under an explicit axis_name; the jit "
+                "data-parallel path computes global stats without one")
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        if mask is None:
+            n = 1.0
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.sum(xf, axes) / n                     # (2, C)
+            mean2 = jnp.sum(jnp.square(xf), axes) / n
+        else:
+            w = mask.astype(jnp.float32).reshape(
+                (1, -1) + (1,) * (x.ndim - 2))
+            per_sample = 1.0
+            for a in axes[1:]:
+                per_sample *= x.shape[a]
+            denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)),
+                                1.0) * per_sample
+            mean = jnp.sum(xf * w, axes) / denom
+            mean2 = jnp.sum(jnp.square(xf) * w, axes) / denom
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+        scale, bias = _BNStatsVars(momentum=self.momentum, name="bn")(
+            mean, var, paired=True)
+        bshape = (2,) + (1,) * (x.ndim - 2) + (mean.shape[-1],)
+        s = (scale * jax.lax.rsqrt(var + self.epsilon)).reshape(bshape)
+        y = xf * s + (bias - mean.reshape(bshape) * s)
+        out_dt = (self.dtype if self.dtype is not None
+                  else jnp.promote_types(x.dtype, jnp.float32))
+        return y.astype(out_dt)
+
 
 class _BNStatsVars(nn.Module):
     """Inner variable holder mirroring flax ``nn.BatchNorm``'s layout."""
@@ -195,22 +240,33 @@ class _BNStatsVars(nn.Module):
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, mean, var, update: bool = True):
-        scale = self.param("scale", nn.initializers.ones, mean.shape,
+    def __call__(self, mean, var, update: bool = True, paired: bool = False):
+        # paired: mean/var are (2, C) per-half statistics; parameters stay
+        # (C,) and the running averages fold the two EMA updates
+        # sequentially (half 0 first), matching two separate calls
+        feat_shape = mean.shape[-1:] if paired else mean.shape
+        scale = self.param("scale", nn.initializers.ones, feat_shape,
                            jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, mean.shape,
+        bias = self.param("bias", nn.initializers.zeros, feat_shape,
                           jnp.float32)
         ra_mean = self.variable(
             "batch_stats", "mean",
-            lambda: jnp.zeros(mean.shape, jnp.float32))
+            lambda: jnp.zeros(feat_shape, jnp.float32))
         ra_var = self.variable(
             "batch_stats", "var",
-            lambda: jnp.ones(var.shape, jnp.float32))
+            lambda: jnp.ones(feat_shape, jnp.float32))
         if update and not self.is_initializing():
-            ra_mean.value = (self.momentum * ra_mean.value
-                             + (1.0 - self.momentum) * mean)
-            ra_var.value = (self.momentum * ra_var.value
-                            + (1.0 - self.momentum) * var)
+            m = self.momentum
+            if paired:
+                ra_mean.value = (m * (m * ra_mean.value
+                                      + (1.0 - m) * mean[0])
+                                 + (1.0 - m) * mean[1])
+                ra_var.value = (m * (m * ra_var.value
+                                     + (1.0 - m) * var[0])
+                                + (1.0 - m) * var[1])
+            else:
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
         return scale, bias
 
 
@@ -231,13 +287,13 @@ class BatchNormFold(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, mean, var, update: bool = True):
+    def __call__(self, mean, var, update: bool = True, paired: bool = False):
         scale, bias = _BNStatsVars(self.momentum, name="bn")(mean, var,
-                                                             update)
+                                                             update, paired)
         return mean, var, scale, bias
 
 
-def linear_bn_stats(x, kernel, bias, axis_name):
+def linear_bn_stats(x, kernel, bias, axis_name, paired: bool = False):
     """Batch statistics of ``y = x @ kernel + bias`` without a stats pass
     over y.
 
@@ -257,6 +313,35 @@ def linear_bn_stats(x, kernel, bias, axis_name):
         raise NotImplementedError(
             "masked linear_bn_stats under an explicit axis_name; the jit "
             "trainer handles padded batches with a global mask instead")
+    if paired:
+        # (2, B, ..., C): independent real|fake halves — (2, C)/(2, C, C)
+        # moments via one batched contraction, stats per half
+        rows_per_sample = 1
+        for d in x.shape[2:-1]:
+            rows_per_sample *= d
+        if mask is None:
+            xf = x.astype(jnp.float32).reshape(2, -1, x.shape[-1])
+            m_rows = float(xf.shape[1])
+        else:
+            w = mask.astype(jnp.float32)
+            xf = x.astype(jnp.float32).reshape(
+                2, x.shape[1], -1, x.shape[-1])
+            xf = (xf * w[None, :, None, None]).reshape(2, -1, x.shape[-1])
+            m_rows = jnp.maximum(jnp.sum(w), 1.0) * float(rows_per_sample)
+        m_x = jnp.sum(xf, axis=1) / m_rows                   # (2, C)
+        s_mat = jnp.einsum(
+            "hrc,hrd->hcd", xf, xf, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) / m_rows     # (2, C, C)
+        if axis_name is not None:
+            m_x = jax.lax.pmean(m_x, axis_name)
+            s_mat = jax.lax.pmean(s_mat, axis_name)
+        kf = kernel.astype(jnp.float32)
+        bf = bias.astype(jnp.float32)
+        mk = m_x @ kf                                        # (2, F)
+        mean = mk + bf
+        ex2 = (jnp.sum(kf * (s_mat @ kf), axis=1)
+               + 2.0 * bf * mk + bf * bf)
+        return mean, jnp.maximum(0.0, ex2 - jnp.square(mean))
     rows_per_sample = 1
     for d in x.shape[1:-1]:
         rows_per_sample *= d
@@ -301,16 +386,19 @@ class DenseBR(nn.Module):
     negative_slope: Optional[float] = None  # None -> plain ReLU
     axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
+    paired: bool = False  # (2, B, ..., C) real|fake halves — see BatchNorm
 
     @nn.compact
     def __call__(self, x):
+        p = self.paired and x.ndim == 4
         # the identity costs an fp32-exact (C_in, C_in) contraction of x;
         # it beats the full stats pass over y only while C_in is narrow
         # (measured on v5e: D1 6.2 -> 4.0 ms, but D4's 256-wide layer
         # regresses) — wide layers keep the plain BatchNorm
         if x.shape[-1] > 128:
             y = TorchDense(self.features, dtype=self.dtype)(x)
-            y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y)
+            y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                          paired=p)(y)
             if self.negative_slope is None:
                 return nn.relu(y)
             return nn.leaky_relu(y, self.negative_slope)
@@ -318,12 +406,19 @@ class DenseBR(nn.Module):
         y = d(x)
         kernel = d.variables["params"]["dense"]["kernel"]
         bias = d.variables["params"]["dense"]["bias"]
-        mean, var = linear_bn_stats(x, kernel, bias, self.axis_name)
+        mean, var = linear_bn_stats(x, kernel, bias, self.axis_name,
+                                    paired=p)
         # same variable tree as the previous BatchNorm(name="BatchNorm_0")
-        _, _, scale, shift = BatchNormFold(name="BatchNorm_0")(mean, var)
+        _, _, scale, shift = BatchNormFold(name="BatchNorm_0")(mean, var,
+                                                               paired=p)
         eps = 1e-5
         s = scale * jax.lax.rsqrt(var + eps)
-        y = y.astype(jnp.float32) * s + (shift - mean * s)
+        off = shift - mean * s
+        if p:  # (2, F) stats against (2, B, ..., F) activations
+            bshape = (2,) + (1,) * (x.ndim - 2) + (self.features,)
+            s = s.reshape(bshape)
+            off = off.reshape(bshape)
+        y = y.astype(jnp.float32) * s + off
         out_dt = self.dtype if self.dtype is not None else jnp.promote_types(
             x.dtype, jnp.float32)
         y = y.astype(out_dt)
@@ -335,6 +430,84 @@ class DenseBR(nn.Module):
 def leaky_relu(x, negative_slope: float = 0.01):
     """torch-default LeakyReLU (slope 0.01)."""
     return nn.leaky_relu(x, negative_slope)
+
+
+class DenseBRPool(nn.Module):
+    """Dense + BN + LeakyReLU + global max-pool over the point axis,
+    without materialising the normalised tensor.
+
+    BN's normalise is a per-channel affine ``s*y + t`` and LeakyReLU is
+    monotone *increasing*, so
+    ``max_n act(s*y_n + t) == act(s * (s>0 ? max_n y_n : min_n y_n) + t)``
+    exactly — the same float ops applied to the same winning element. The
+    widest discriminator activation (256/512/1024 channels over all
+    points; reference PointDiscriminator_1..4 max_pool, models/
+    PDGNet_v2.py:905-1016) is therefore reduced straight from the GEMM
+    output: one max+min+sum+sum² pass instead of a full normalise
+    write/read plus a pooling pass. Identical parameter/stat tree to
+    ``DenseBR`` (conv{i}/TorchDense_0 + BatchNorm_0/bn).
+
+    Input ``(B, N, C)`` (or paired ``(2, B, N, C)``) -> pooled
+    ``(B, F)`` (or ``(2, B, F)``), always fp32.
+    """
+
+    features: int
+    negative_slope: float = 0.01
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+    paired: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.paired and x.ndim == 4
+        d = TorchDense(self.features, dtype=self.dtype, name="TorchDense_0")
+        yf = d(x).astype(jnp.float32)
+        mask = current_batch_mask()
+        if mask is not None and self.axis_name is not None:
+            raise NotImplementedError(
+                "masked BatchNorm under an explicit axis_name; the jit "
+                "data-parallel path computes global stats without one")
+        # batch statistics over all rows (masked rows excluded); reduction
+        # axes: everything but channels, and but the pair axis if present
+        axes = tuple(range(1, yf.ndim - 1)) if p else tuple(
+            range(yf.ndim - 1))
+        if mask is None:
+            n = 1.0
+            for a in axes:
+                n *= yf.shape[a]
+            mean = jnp.sum(yf, axes) / n
+            mean2 = jnp.sum(jnp.square(yf), axes) / n
+        else:
+            batch_axis = 1 if p else 0
+            wshape = [1] * yf.ndim
+            wshape[batch_axis] = -1
+            w = mask.astype(jnp.float32).reshape(wshape)
+            per_sample = 1.0
+            for a in axes:
+                if a != batch_axis:
+                    per_sample *= yf.shape[a]
+            denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)),
+                                1.0) * per_sample
+            mean = jnp.sum(yf * w, axes) / denom
+            mean2 = jnp.sum(jnp.square(yf) * w, axes) / denom
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+        _, _, scale, bias = BatchNormFold(name="BatchNorm_0")(mean, var,
+                                                              paired=p)
+        eps = 1e-5
+        s = scale * jax.lax.rsqrt(var + eps)
+        t = bias - mean * s
+        # per-sample pooling never crosses samples, so the batch mask is
+        # irrelevant here (padded samples' logits are masked in the loss)
+        ymax = jnp.max(yf, axis=-2)                  # (..., B, F)
+        ymin = jnp.min(yf, axis=-2)
+        if p:
+            s = s[:, None, :]
+            t = t[:, None, :]
+        pooled = jnp.where(s > 0, ymax, ymin)
+        return nn.leaky_relu(pooled * s + t, self.negative_slope)
 
 
 class DenseDBR(nn.Module):

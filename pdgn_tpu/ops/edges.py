@@ -25,14 +25,24 @@ from pdgn_tpu.ops.knn import knn_exclude_first
 from pdgn_tpu.ops.pairwise import self_pairwise_sqdist
 
 
+def exact_knn_enabled() -> bool:
+    """PDGN_EXACT_KNN state: "0"/""/unset -> fast graphs, else exact.
+
+    The trainer's test phase *defaults this on* (quality path: the metric
+    suite dwarfs generation time there); export ``PDGN_EXACT_KNN=0`` to
+    force the fast bf16 graphs everywhere.
+    """
+    import os
+
+    return os.environ.get("PDGN_EXACT_KNN", "") not in ("", "0")
+
+
 # Precision of the feature-space distance matmul used only for neighbour
 # *selection*: the default (bf16 on the MXU) is ~15x faster than fp32 and
 # only perturbs edge choice at near-ties in a learned feature space. Set
 # PDGN_EXACT_KNN=1 for fp32-exact graph construction.
 def _graph_precision():
-    import os
-
-    if os.environ.get("PDGN_EXACT_KNN"):
+    if exact_knn_enabled():
         return jax.lax.Precision.HIGHEST
     return jax.lax.Precision.DEFAULT
 
@@ -43,14 +53,12 @@ def _neighbor_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
     Uses the fused Pallas kernel on TPU (no materialised distance matrix);
     falls back to an XLA pairwise + iterative top-k elsewhere.
     """
-    import os
-
     from pdgn_tpu.ops.knn import _pallas_knn_ok
 
     # PDGN_EXACT_KNN demands fp32-exact graphs; the Pallas kernel's
     # feature-space matmul runs at default (bf16) precision, so honour the
     # flag by taking the XLA path with HIGHEST-precision distances.
-    exact = bool(os.environ.get("PDGN_EXACT_KNN"))
+    exact = exact_knn_enabled()
     if not exact and _pallas_knn_ok(x, k + 1):
         from pdgn_tpu.ops.pallas.knn import knn_topk
 

@@ -644,8 +644,9 @@ def head_fusion_ok(x, k: int) -> bool:
     (non-exact) kNN mode."""
     import os
 
-    if os.environ.get("PDGN_DISABLE_PALLAS") or os.environ.get(
-            "PDGN_EXACT_KNN"):
+    from pdgn_tpu.ops.edges import exact_knn_enabled
+
+    if os.environ.get("PDGN_DISABLE_PALLAS") or exact_knn_enabled():
         return False
     if x.shape[1] % _T or k % 2 or x.shape[1] > 0x10000:
         return False

@@ -6,6 +6,7 @@ from pdgn_tpu.train.train_step import (
     TrainConfig,
     init_state,
     make_optimizer,
+    make_batched_sampler,
     make_sampler,
     make_train_step,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "TrainConfig",
     "init_state",
     "make_optimizer",
+    "make_batched_sampler",
     "make_sampler",
     "make_train_step",
     "normalize_point_clouds",

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import optax
 
 from pdgn_tpu.losses.gan import g_adv_loss, mse_loss
-from pdgn_tpu.losses.shape_preserving import get_local_pair
+from pdgn_tpu.losses.shape_preserving import shape_preserving_terms
 from pdgn_tpu.models.layers import batch_mask
 
 
@@ -142,15 +142,23 @@ def make_train_step(
         )
         return outs, upd["batch_stats"]
 
+    # paired clones for the D update: evaluate D(real) and D(fake) in one
+    # stacked pass with independent per-half BN statistics — identical math
+    # to the reference's sequential D(real); D(fake) (same loss, grads and
+    # running-stat updates) at twice the GEMM rows and half the dispatches
+    discs_paired = tuple(d.clone(paired=True) for d in discriminators)
+
     def d_update(i, d_state: NetState, real, fake, mask):
         def loss_fn(params, stats):
-            pred_real, stats = disc_apply(i, params, stats, real)
-            pred_fake, stats = disc_apply(i, params, stats, fake)
+            pred, upd = discs_paired[i].apply(
+                {"params": params, "batch_stats": stats},
+                jnp.stack([real, fake]), mutable=["batch_stats"],
+            )
             loss = (
-                mse_loss(pred_real, jnp.ones_like(pred_real), mask)
-                + mse_loss(pred_fake, jnp.zeros_like(pred_fake), mask)
+                mse_loss(pred[0], jnp.ones_like(pred[0]), mask)
+                + mse_loss(pred[1], jnp.zeros_like(pred[1]), mask)
             ) / 2.0
-            return loss, stats
+            return loss, upd["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             d_state.params, d_state.batch_stats
@@ -163,16 +171,8 @@ def make_train_step(
         def loss_fn(g_params):
             fakes, g_stats = gen_apply(g_params, g_state.batch_stats, z)
 
-            similar_mu = 0.0
-            similar_cov = 0.0
-            for a in range(4):
-                for b in range(a + 1, 4):
-                    mu_ab, cov_ab = get_local_pair(
-                        fakes[a], fakes[b], nsample=cfg.shape_nsample,
-                        mask=mask,
-                    )
-                    similar_mu = similar_mu + mu_ab
-                    similar_cov = similar_cov + cov_ab
+            similar_mu, similar_cov = shape_preserving_terms(
+                fakes, nsample=cfg.shape_nsample, mask=mask)
             similar = (cfg.mu_weight * similar_mu
                        + cfg.cov_weight * similar_cov)
 
@@ -260,3 +260,28 @@ def make_sampler(generator, cfg: TrainConfig):
         return outs
 
     return sample
+
+
+def make_batched_sampler(generator, cfg: TrainConfig):
+    """Multi-batch sampler: one dispatch for many sampling batches.
+
+    ``sample_many(params, batch_stats, keys, batch_size)`` scans the
+    single-batch sampler over a ``(n,)`` vector of PRNG keys and returns
+    the stacked finest clouds ``(n, batch_size, 2048, 3)``. Production
+    generation (the test phase's sample loop, bulk serving) issues one
+    device program instead of n — per-call host/dispatch latency
+    (~2.7 ms/call through the axon relay at B=128) amortises to nothing.
+    Each scan step is bit-identical to ``make_sampler``'s output for the
+    same key.
+    """
+    sample = make_sampler(generator, cfg)
+
+    def sample_many(params, batch_stats, keys, batch_size: int):
+        def body(_, key):
+            outs = sample(params, batch_stats, key, batch_size)
+            return _, outs[3]
+
+        _, finest = jax.lax.scan(body, None, keys)
+        return finest
+
+    return sample_many

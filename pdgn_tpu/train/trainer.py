@@ -82,6 +82,11 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None  # large-activation dtype for
     #                                      training ('bfloat16' ~= the
     #                                      reference's Ampere TF32 regime)
+    d_compute_dtype: Optional[str] = None  # discriminator conv-stack dtype.
+    #                                      Default fp32 REGARDLESS of
+    #                                      compute_dtype: bf16 Ds measured
+    #                                      as collapsing LSGAN training
+    #                                      (PERF.md round-3)
 
     @property
     def category(self) -> str:
@@ -139,10 +144,13 @@ class PDGNTrainer:
                                         softmax=softmax,
                                         base_points=cfg.base_points,
                                         dtype=cfg.compute_dtype)
-        # dtype=None (not "float32") in the default config keeps the
-        # module tree — and so the persistent-compile-cache key — identical
-        # to the dtype-less discriminators
-        d_dtype = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+        # discriminators stay fp32 unless explicitly overridden: running
+        # the D conv stacks in bf16 collapses adversarial training (D wins
+        # from ~epoch 100, G stalls; measured round-3, PERF.md). dtype=None
+        # (not "float32") keeps the module tree — and so the persistent-
+        # compile-cache key — identical to the dtype-less discriminators.
+        d_dtype = (None if cfg.d_compute_dtype in (None, "float32")
+                   else cfg.d_compute_dtype)
         self.discriminators = (
             PointDiscriminator1(dtype=d_dtype),
             PointDiscriminator2(dtype=d_dtype),
@@ -323,6 +331,13 @@ class PDGNTrainer:
         """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
         from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
 
+        # quality path: default to fp32-exact kNN graphs (the reference's
+        # insertion-sort semantics, knnquery_cuda_kernel.cu:29-42). The
+        # bf16 packed-key graphs measured a ~2% JSD perturbation at
+        # 64-sample granularity (PERF.md round-3) — negligible sampling
+        # speed matters here, the metric suite dominates. Export
+        # PDGN_EXACT_KNN=0 to force the fast graphs in the test phase too.
+        os.environ.setdefault("PDGN_EXACT_KNN", "1")
         cfg = self.cfg
         if self.state is None:
             self.build_model()

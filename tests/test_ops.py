@@ -345,3 +345,21 @@ def test_query_and_group_dilate(rng):
     with pytest.raises(ValueError):
         ops.query_and_group_dilate(
             jnp.asarray(xyz), features=jnp.asarray(feats), nsample=4)
+
+
+def test_exact_knn_flag_semantics(monkeypatch):
+    """PDGN_EXACT_KNN: unset/""/"0" -> fast graphs, anything else exact.
+
+    The trainer's test phase relies on "0" meaning OFF to give callers an
+    opt-out from its exact-by-default quality path (trainer.test).
+    """
+    from pdgn_tpu.ops.edges import exact_knn_enabled
+
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+    assert not exact_knn_enabled()
+    monkeypatch.setenv("PDGN_EXACT_KNN", "")
+    assert not exact_knn_enabled()
+    monkeypatch.setenv("PDGN_EXACT_KNN", "0")
+    assert not exact_knn_enabled()
+    monkeypatch.setenv("PDGN_EXACT_KNN", "1")
+    assert exact_knn_enabled()

@@ -124,3 +124,23 @@ def test_bf16_compute_dtype_step_runs_finite():
         assert np.isfinite(float(v)), (k, v)
     # params stay fp32
     assert state.g.params["fc1"]["dense"]["kernel"].dtype == jnp.float32
+
+
+def test_batched_sampler_matches_single(setup):
+    """sample_many(keys) == [sample(key) for key in keys] (finest clouds)."""
+    from pdgn_tpu.train import make_batched_sampler, make_sampler
+
+    state, _, _ = setup
+    gen = PointGenerator(num_point=SIZES[-1], num_k=20, base_points=BASE)
+    cfg = TrainConfig()
+    sample = jax.jit(make_sampler(gen, cfg), static_argnames=("batch_size",))
+    many = jax.jit(make_batched_sampler(gen, cfg),
+                   static_argnames=("batch_size",))
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    stacked = many(state.g.params, state.g.batch_stats, keys, BATCH)
+    assert stacked.shape == (3, BATCH, SIZES[-1], 3)
+    for i, k in enumerate(keys):
+        single = sample(state.g.params, state.g.batch_stats, k, BATCH)[3]
+        # scan vs standalone are separately compiled programs: BN stats
+        # chains amplify reduction-order differences to ~1e-5 abs
+        np.testing.assert_allclose(stacked[i], single, rtol=2e-3, atol=1e-5)
