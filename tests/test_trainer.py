@@ -134,3 +134,19 @@ def test_normalize_shape_unit_matches_torch_std():
         scale = pc.flatten().std().reshape(1, 1)     # torch std: ddof=1
         want = ((pc - shift) / scale).numpy()
         np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_compute_dtype_keeps_discriminators_fp32(cfg_factory):
+    """--compute_dtype bfloat16 is generator-only: bf16 D conv stacks were
+    measured as collapsing LSGAN training (PERF.md round-3), so Ds stay
+    fp32 unless --d_compute_dtype opts in explicitly."""
+    tr = PDGNTrainer(cfg_factory(compute_dtype="bfloat16"))
+    assert tr.generator.dtype == "bfloat16"
+    assert all(d.dtype is None for d in tr.discriminators)
+
+    tr2 = PDGNTrainer(cfg_factory(compute_dtype="bfloat16",
+                                  d_compute_dtype="bfloat16"))
+    assert all(d.dtype == "bfloat16" for d in tr2.discriminators)
+
+    tr3 = PDGNTrainer(cfg_factory())  # default: everything fp32
+    assert all(d.dtype is None for d in tr3.discriminators)
