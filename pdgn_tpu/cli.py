@@ -25,7 +25,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     desc = "PDGN-TPU: progressive point-cloud GAN (JAX/TPU)"
     parser = argparse.ArgumentParser(description=desc)
     parser.add_argument('--phase', type=str, default='train',
-                        help='train or test ?')
+                        help='train, test, or sample (bulk generation)')
+    parser.add_argument('--num_samples', type=int, default=128,
+                        help='clouds to generate in --phase sample')
     parser.add_argument('--workers', type=int, default=4,
                         help='(accepted for parity; host loader is threaded)')
     parser.add_argument('--gpu', type=int, default=0,
@@ -176,6 +178,12 @@ def main(argv=None) -> None:
     elif args.phase == 'test':
         trainer.test()
         print(" [*] Test finished!")
+    elif args.phase == 'sample':
+        out = os.path.join(args.save_dir,
+                           f"samples_{args.model_dir}_{args.num_samples}.npy")
+        clouds = trainer.generate(args.num_samples, out_path=out)
+        print(f" [*] Wrote {clouds.shape} to {out}")
+        print(" [*] Sampling finished!")
     elif args.phase == 'cls':
         print(" [!] phase 'cls' maps to extract_feature(), which the "
               "reference never defines (dead phase, main.py:108-109); "

@@ -271,8 +271,9 @@ def make_batched_sampler(generator, cfg: TrainConfig):
     generation (the test phase's sample loop, bulk serving) issues one
     device program instead of n — per-call host/dispatch latency
     (~2.7 ms/call through the axon relay at B=128) amortises to nothing.
-    Each scan step is bit-identical to ``make_sampler``'s output for the
-    same key.
+    Each scan step computes the same math as ``make_sampler`` for the
+    same key (identical up to compiler reduction-order noise — the scan
+    is a separately compiled program).
     """
     sample = make_sampler(generator, cfg)
 

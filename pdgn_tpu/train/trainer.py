@@ -327,17 +327,66 @@ class PDGNTrainer:
         return self._sampler(self.state.g.params, self.state.g.batch_stats,
                              rng, batch_size=batch_size)
 
+    def generate(self, n: int, batch_size: Optional[int] = None,
+                 out_path: Optional[str] = None) -> np.ndarray:
+        """Bulk generation (the ``--phase sample`` serving path).
+
+        Produces ``n`` finest-resolution clouds through the batched
+        sampler (``make_batched_sampler`` — many batches per device
+        dispatch, chunked to bound device memory), deterministically from
+        ``cfg.seed``. Beyond the reference's surface (its only generation
+        path is buried in the test phase); per-batch outputs match
+        :meth:`sample` bit-for-bit for the same keys.
+        """
+        from pdgn_tpu.train.train_step import make_batched_sampler
+
+        cfg = self.cfg
+        if self.state is None:
+            self.build_model()
+        try:
+            could_load, _ = self.load()
+            print(" [*] Load SUCCESS" if could_load else " [!] Load failed...")
+        except FileNotFoundError as e:
+            print(f" [!] Load failed... ({e})")
+        bs = batch_size or cfg.batch_size
+        many = jax.jit(make_batched_sampler(self.generator, self.tcfg),
+                       static_argnames=("batch_size",))
+        n_batches = -(-n // bs)
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_batches)
+        chunks = []
+        for s in range(0, n_batches, 32):  # ≤32 batches per dispatch
+            out = many(self.state.g.params, self.state.g.batch_stats,
+                       keys[s:s + 32], batch_size=bs)
+            chunks.append(np.asarray(out).reshape(-1, *out.shape[2:]))
+        clouds = np.concatenate(chunks, axis=0)[:n]
+        if out_path is not None:
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            np.save(out_path, clouds)
+        return clouds
+
     def test(self, tile: int = 64) -> dict:
         """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
-        from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
-
         # quality path: default to fp32-exact kNN graphs (the reference's
         # insertion-sort semantics, knnquery_cuda_kernel.cu:29-42). The
         # bf16 packed-key graphs measured a ~2% JSD perturbation at
         # 64-sample granularity (PERF.md round-3) — negligible sampling
         # speed matters here, the metric suite dominates. Export
         # PDGN_EXACT_KNN=0 to force the fast graphs in the test phase too.
-        os.environ.setdefault("PDGN_EXACT_KNN", "1")
+        # Scoped to this call (restored on return): a later train() in the
+        # same process must keep the fast default.
+        if os.environ.get("PDGN_EXACT_KNN") is None:
+            os.environ["PDGN_EXACT_KNN"] = "1"
+            self._exact_knn_defaulted = True
+        try:
+            return self._test_impl(tile)
+        finally:
+            if getattr(self, "_exact_knn_defaulted", False):
+                os.environ.pop("PDGN_EXACT_KNN", None)
+                self._exact_knn_defaulted = False
+
+    def _test_impl(self, tile: int = 64) -> dict:
+        from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
+
         cfg = self.cfg
         if self.state is None:
             self.build_model()

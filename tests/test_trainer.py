@@ -8,6 +8,7 @@ metric suite -> npy dumps) — the reference's train/test flow
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -150,3 +151,49 @@ def test_bf16_compute_dtype_keeps_discriminators_fp32(cfg_factory):
 
     tr3 = PDGNTrainer(cfg_factory())  # default: everything fp32
     assert all(d.dtype is None for d in tr3.discriminators)
+
+
+def test_test_phase_exact_knn_default_is_scoped(cfg_factory, monkeypatch):
+    """trainer.test defaults PDGN_EXACT_KNN=1 only for the call's duration
+    (a later train() in the same process must keep the fast graphs), and
+    never overrides an explicit caller setting."""
+    import os
+
+    tr = PDGNTrainer(cfg_factory())
+    seen = {}
+
+    def fake_impl(tile=64):
+        seen["flag"] = os.environ.get("PDGN_EXACT_KNN")
+        return {}
+
+    monkeypatch.setattr(tr, "_test_impl", fake_impl)
+
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+    tr.test()
+    assert seen["flag"] == "1"
+    assert os.environ.get("PDGN_EXACT_KNN") is None   # restored
+
+    monkeypatch.setenv("PDGN_EXACT_KNN", "0")         # explicit opt-out
+    tr.test()
+    assert seen["flag"] == "0"
+    assert os.environ.get("PDGN_EXACT_KNN") == "0"
+
+
+def test_generate_bulk_sampling(trained, tmp_path):
+    """--phase sample path: n clouds, deterministic from cfg.seed,
+    written to disk, batched-sampler consistency with trainer.sample."""
+    tr, cfg = trained
+    out = str(tmp_path / "samples.npy")
+    clouds = tr.generate(5, batch_size=2, out_path=out)
+    # tiny config: base_points=16 -> finest stage 16*16 = 256 points
+    assert clouds.shape == (5, cfg.base_points * 16, 3)
+    again = tr.generate(5, batch_size=2)
+    np.testing.assert_allclose(clouds, again, rtol=1e-5, atol=1e-6)
+    on_disk = np.load(out)
+    np.testing.assert_array_equal(clouds, on_disk)
+    # first batch tracks the single-batch sampler at the same key; the
+    # two are separately compiled programs, so reduction-order noise can
+    # flip feature-kNN near-ties and move individual points ~1e-3
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
+    single = tr.sample(keys[0], 2)[3]
+    np.testing.assert_allclose(clouds[:2], np.asarray(single), atol=5e-3)
