@@ -84,8 +84,11 @@ def _pair_tile_impl(sample_tile: jnp.ndarray, ref_tile: jnp.ndarray,
             from pdgn_tpu.ops.pallas import fused_cd_emd
 
             # opt-in accuracy/speed trade: bf16 storage for the kernel's
-            # cached exp-base matrix (see fused_cd_emd docstring / PERF.md)
-            bf16_cache = bool(os.environ.get("PDGN_EMD_BF16_CACHE"))
+            # cached exp-base matrix (see fused_cd_emd docstring / PERF.md).
+            # ""/"0"/unset -> off, matching the repo's other env flags
+            # (PDGN_EXACT_KNN=0, PDGN_JAX_CACHE=0 mean "disable").
+            bf16_cache = os.environ.get(
+                "PDGN_EMD_BF16_CACHE", "") not in ("", "0")
             cd, cost = fused_cd_emd(a, b, bf16_cache=bf16_cache)
             return cd.reshape(S, R), (cost / float(N)).reshape(S, R)
         impl = "xla"  # kernel shape requirement unmet: next-fastest path

@@ -354,7 +354,7 @@ def linear_bn_stats(x, kernel, bias, axis_name, paired: bool = False):
         # binary mask: w^2 == w, so pre-scaling rows yields the weighted
         # second moment from the plain matmul
         xf = (xf * w[:, None, None]).reshape(-1, x.shape[-1])
-        m_rows = jnp.sum(w) * float(rows_per_sample)
+        m_rows = jnp.maximum(jnp.sum(w), 1.0) * float(rows_per_sample)
     m_x = jnp.sum(xf, axis=0) / m_rows                       # (C,)
     s_mat = jnp.matmul(
         xf.T, xf, precision=jax.lax.Precision.HIGHEST,

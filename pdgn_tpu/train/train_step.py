@@ -243,16 +243,25 @@ def make_train_step(
     return train_step
 
 
-def make_sampler(generator, cfg: TrainConfig):
+def make_sampler(generator, cfg: TrainConfig, mesh=None):
     """Test-time sampler: z ~ N(0, 1) (reference :304 — note std 1, not 0.2).
 
     Uses the *batch statistics* of the sampled batch, matching the
     reference quirk that the generator is never put in eval mode.
     Returns only the finest (2048-pt) cloud plus the full tuple.
+
+    ``mesh``: shard the sample batch over the mesh's data axis —
+    embarrassingly-parallel multi-chip generation (params replicated, no
+    collectives except the BN batch-statistics reductions XLA inserts,
+    which keep stats global exactly like the single-chip trace).
     """
 
     def sample(params, batch_stats, rng, batch_size: int):
         z = jax.random.normal(rng, (batch_size, cfg.noise_dim))
+        if mesh is not None and mesh.devices.size > 1:
+            from pdgn_tpu.parallel.mesh import batch_sharding
+
+            z = jax.lax.with_sharding_constraint(z, batch_sharding(mesh))
         outs, _ = generator.apply(
             {"params": params, "batch_stats": batch_stats}, z,
             mutable=["batch_stats"],
@@ -262,7 +271,7 @@ def make_sampler(generator, cfg: TrainConfig):
     return sample
 
 
-def make_batched_sampler(generator, cfg: TrainConfig):
+def make_batched_sampler(generator, cfg: TrainConfig, mesh=None):
     """Multi-batch sampler: one dispatch for many sampling batches.
 
     ``sample_many(params, batch_stats, keys, batch_size)`` scans the
@@ -273,9 +282,10 @@ def make_batched_sampler(generator, cfg: TrainConfig):
     (~2.7 ms/call through the axon relay at B=128) amortises to nothing.
     Each scan step computes the same math as ``make_sampler`` for the
     same key (identical up to compiler reduction-order noise — the scan
-    is a separately compiled program).
+    is a separately compiled program). ``mesh`` shards every batch over
+    the data axis (see :func:`make_sampler`).
     """
-    sample = make_sampler(generator, cfg)
+    sample = make_sampler(generator, cfg, mesh=mesh)
 
     def sample_many(params, batch_stats, keys, batch_size: int):
         def body(_, key):

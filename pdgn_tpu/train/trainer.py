@@ -165,6 +165,7 @@ class PDGNTrainer:
         self.state: Optional[GANState] = None
         self._train_step = None
         self._sampler = None
+        self._batched_sampler = None
         self._log_fout = None
 
     # -- plumbing ------------------------------------------------------
@@ -327,6 +328,18 @@ class PDGNTrainer:
         return self._sampler(self.state.g.params, self.state.g.batch_stats,
                              rng, batch_size=batch_size)
 
+    def _load_for_eval(self) -> None:
+        """Build (if needed) + restore the checkpoint, test-phase style
+        (reference models/PDGNet_v2.py:281-285 prints and proceeds on a
+        missing checkpoint rather than failing)."""
+        if self.state is None:
+            self.build_model()
+        try:
+            could_load, _ = self.load()
+            print(" [*] Load SUCCESS" if could_load else " [!] Load failed...")
+        except FileNotFoundError as e:
+            print(f" [!] Load failed... ({e})")
+
     def generate(self, n: int, batch_size: Optional[int] = None,
                  out_path: Optional[str] = None) -> np.ndarray:
         """Bulk generation (the ``--phase sample`` serving path).
@@ -335,28 +348,32 @@ class PDGNTrainer:
         sampler (``make_batched_sampler`` — many batches per device
         dispatch, chunked to bound device memory), deterministically from
         ``cfg.seed``. Beyond the reference's surface (its only generation
-        path is buried in the test phase); per-batch outputs match
-        :meth:`sample` bit-for-bit for the same keys.
+        path is buried in the test phase). Per-batch outputs compute the
+        same math as :meth:`sample` for the same keys, up to compiler
+        reduction-order noise between the two programs.
         """
         from pdgn_tpu.train.train_step import make_batched_sampler
 
         cfg = self.cfg
-        if self.state is None:
-            self.build_model()
-        try:
-            could_load, _ = self.load()
-            print(" [*] Load SUCCESS" if could_load else " [!] Load failed...")
-        except FileNotFoundError as e:
-            print(f" [!] Load failed... ({e})")
+        self._load_for_eval()
         bs = batch_size or cfg.batch_size
-        many = jax.jit(make_batched_sampler(self.generator, self.tcfg),
-                       static_argnames=("batch_size",))
+        # jit wrapper cached on self: repeated generate() calls reuse the
+        # trace (a fresh jax.jit object would retrace every call). A
+        # ragged final chunk still traces once per distinct remainder
+        # length — scan length is part of the program.
+        if self._batched_sampler is None:
+            gen_mesh = self.mesh if self.mesh.devices.size > 1 else None
+            self._batched_sampler = jax.jit(
+                make_batched_sampler(self.generator, self.tcfg,
+                                     mesh=gen_mesh),
+                static_argnames=("batch_size",))
         n_batches = -(-n // bs)
         keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_batches)
         chunks = []
         for s in range(0, n_batches, 32):  # ≤32 batches per dispatch
-            out = many(self.state.g.params, self.state.g.batch_stats,
-                       keys[s:s + 32], batch_size=bs)
+            out = self._batched_sampler(
+                self.state.g.params, self.state.g.batch_stats,
+                keys[s:s + 32], batch_size=bs)
             chunks.append(np.asarray(out).reshape(-1, *out.shape[2:]))
         clouds = np.concatenate(chunks, axis=0)[:n]
         if out_path is not None:
@@ -388,13 +405,7 @@ class PDGNTrainer:
         from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
 
         cfg = self.cfg
-        if self.state is None:
-            self.build_model()
-        try:
-            could_load, _ = self.load()
-            print(" [*] Load SUCCESS" if could_load else " [!] Load failed...")
-        except FileNotFoundError as e:
-            print(f" [!] Load failed... ({e})")
+        self._load_for_eval()
 
         cate_tag = "_".join(cfg.choice) if cfg.choice else "full"
         save_dir = os.path.join(
@@ -407,11 +418,18 @@ class PDGNTrainer:
         test_dset = self._make_dataset("test", cfg.normalize)
         ref_pcs = test_dset.full_clouds()
 
+        # fresh jit wrapper: the kNN env flag is consulted at TRACE time,
+        # so self._sampler may hold a fast-graph trace from before the
+        # exact-kNN default was applied — and the exact trace must not
+        # leak back into later fast-path sample() calls either
+        sampler = jax.jit(make_sampler(self.generator, self.tcfg),
+                          static_argnames=("batch_size",))
         rng = jax.random.PRNGKey(cfg.seed)
         gen = []
         for _ in range(math.ceil(len(test_dset) / cfg.batch_size)):
             rng, sub = jax.random.split(rng)
-            outs = self.sample(sub, cfg.batch_size)
+            outs = sampler(self.state.g.params, self.state.g.batch_stats,
+                           sub, batch_size=cfg.batch_size)
             gen.append(np.asarray(outs[3]))
         gen_pcs = np.concatenate(gen, axis=0)[: len(test_dset)]
         np.save(os.path.join(save_dir, "nonormal_out.npy"), gen_pcs)
