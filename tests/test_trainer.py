@@ -191,9 +191,10 @@ def test_generate_bulk_sampling(trained, tmp_path):
     np.testing.assert_allclose(clouds, again, rtol=1e-5, atol=1e-6)
     on_disk = np.load(out)
     np.testing.assert_array_equal(clouds, on_disk)
-    # first batch tracks the single-batch sampler at the same key; the
-    # two are separately compiled programs, so reduction-order noise can
-    # flip feature-kNN near-ties and move individual points ~1e-3
-    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
-    single = tr.sample(keys[0], 2)[3]
-    np.testing.assert_allclose(clouds[:2], np.asarray(single), atol=5e-3)
+    # NOTE: under the test conftest's 8-device CPU mesh generate() takes
+    # the SHARDED batched-sampler path, so element-level comparison with
+    # the unsharded tr.sample is chaotic (BN-stat reduction order flips
+    # feature-kNN near-ties). Cross-program equivalence is pinned by
+    # test_train_step.py::test_batched_sampler_matches_single (unsharded)
+    # and test_parallel.py::test_sharded_generation_matches_single_device
+    # (mesh, geometric Chamfer-twin check).
