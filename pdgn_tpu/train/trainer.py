@@ -165,7 +165,8 @@ class PDGNTrainer:
         self.state: Optional[GANState] = None
         self._train_step = None
         self._sampler = None
-        self._batched_sampler = None
+        self._batched_samplers: dict = {}   # (batch_size, exact_knn) -> jit
+        self._test_samplers: dict = {}      # exact_knn -> jit
         self._log_fout = None
 
     # -- plumbing ------------------------------------------------------
@@ -352,26 +353,45 @@ class PDGNTrainer:
         same math as :meth:`sample` for the same keys, up to compiler
         reduction-order noise between the two programs.
         """
+        from pdgn_tpu.ops.edges import exact_knn_enabled
         from pdgn_tpu.train.train_step import make_batched_sampler
 
         cfg = self.cfg
         self._load_for_eval()
         bs = batch_size or cfg.batch_size
-        # jit wrapper cached on self: repeated generate() calls reuse the
-        # trace (a fresh jax.jit object would retrace every call). A
-        # ragged final chunk still traces once per distinct remainder
-        # length — scan length is part of the program.
-        if self._batched_sampler is None:
-            gen_mesh = self.mesh if self.mesh.devices.size > 1 else None
-            self._batched_sampler = jax.jit(
+        # jit wrapper cached on self, keyed on (batch size, kNN mode): a
+        # fresh jax.jit object would retrace every call, while an unkeyed
+        # cache would freeze the trace-time PDGN_EXACT_KNN state across
+        # calls. A ragged final chunk still traces once per distinct
+        # remainder length — scan length is part of the program.
+        cache_key = (bs, exact_knn_enabled())
+        sampler = self._batched_samplers.get(cache_key)
+        if sampler is None:
+            # shard each batch over the data axis only when it divides
+            # the mesh (no masked-BN padding on the generation path, and
+            # the parameters are replicated over the FULL mesh so a
+            # submesh is not an option); otherwise run unconstrained —
+            # GSPMD replicates, matching the pre-mesh behaviour
+            n_dev = int(self.mesh.devices.size)
+            gen_mesh = self.mesh if (n_dev > 1 and bs % n_dev == 0) else None
+            if n_dev > 1 and bs % n_dev:
+                import warnings
+
+                warnings.warn(
+                    f"--phase sample batch_size={bs} does not divide the "
+                    f"{n_dev}-device mesh; generating without batch "
+                    "sharding. Pick a divisible batch size to use all "
+                    "chips.", stacklevel=2)
+            sampler = jax.jit(
                 make_batched_sampler(self.generator, self.tcfg,
                                      mesh=gen_mesh),
                 static_argnames=("batch_size",))
+            self._batched_samplers[cache_key] = sampler
         n_batches = -(-n // bs)
         keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_batches)
         chunks = []
         for s in range(0, n_batches, 32):  # ≤32 batches per dispatch
-            out = self._batched_sampler(
+            out = sampler(
                 self.state.g.params, self.state.g.batch_stats,
                 keys[s:s + 32], batch_size=bs)
             chunks.append(np.asarray(out).reshape(-1, *out.shape[2:]))
@@ -418,12 +438,20 @@ class PDGNTrainer:
         test_dset = self._make_dataset("test", cfg.normalize)
         ref_pcs = test_dset.full_clouds()
 
-        # fresh jit wrapper: the kNN env flag is consulted at TRACE time,
-        # so self._sampler may hold a fast-graph trace from before the
-        # exact-kNN default was applied — and the exact trace must not
-        # leak back into later fast-path sample() calls either
-        sampler = jax.jit(make_sampler(self.generator, self.tcfg),
-                          static_argnames=("batch_size",))
+        # flag-keyed jit wrapper: the kNN env flag is consulted at TRACE
+        # time, so self._sampler may hold a fast-graph trace from before
+        # the exact-kNN default was applied — and the exact trace must
+        # not leak back into later fast-path sample() calls either. The
+        # cache makes repeated test() calls (several checkpoints in one
+        # process) reuse the compile per kNN mode.
+        from pdgn_tpu.ops.edges import exact_knn_enabled
+
+        knn_mode = exact_knn_enabled()
+        sampler = self._test_samplers.get(knn_mode)
+        if sampler is None:
+            sampler = jax.jit(make_sampler(self.generator, self.tcfg),
+                              static_argnames=("batch_size",))
+            self._test_samplers[knn_mode] = sampler
         rng = jax.random.PRNGKey(cfg.seed)
         gen = []
         for _ in range(math.ceil(len(test_dset) / cfg.batch_size)):
