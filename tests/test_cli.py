@@ -47,3 +47,34 @@ def test_compute_dtype_flag():
     assert args.compute_dtype == "bfloat16"
     args = parse_args(["--model_dir", "m", "--network", "PDGNet_v2"])
     assert args.compute_dtype is None
+
+
+def test_sample_phase_dispatch(tmp_path, monkeypatch):
+    """--phase sample wires num_samples + save_dir into trainer.generate."""
+    import numpy as np
+
+    import pdgn_tpu.cli as cli
+
+    calls = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg):
+            calls["cfg"] = cfg
+
+        def build_model(self):
+            pass
+
+        def generate(self, n, batch_size=None, out_path=None):
+            calls["n"] = n
+            calls["out_path"] = out_path
+            return np.zeros((n, 4, 3), np.float32)
+
+    monkeypatch.setattr("pdgn_tpu.train.PDGNTrainer", FakeTrainer)
+    cli.main(["--network", "PDGNet_v2", "--phase", "sample",
+              "--dataset", "synthetic", "--model_dir", "m",
+              "--checkpoint_dir", str(tmp_path / "ckpt"),
+              "--save_dir", str(tmp_path / "out"),
+              "--num_samples", "7"])
+    assert calls["n"] == 7
+    assert calls["out_path"].endswith("samples_m_7.npy")
+    assert calls["cfg"].phase == "sample"
