@@ -65,6 +65,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--max_steps_per_epoch', type=int, default=None,
                         help='debug cap on batches per epoch')
     parser.add_argument('--synthetic_size', type=int, default=64)
+    parser.add_argument('--base_points', type=int, default=128,
+                        help='generator stage-1 points (128 = reference; '
+                             'smaller shrinks every stage — smoke tests)')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='write a jax.profiler trace of steps 2..4')
     parser.add_argument('--compute_dtype', type=str, default=None,
@@ -80,6 +83,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                              'even under --compute_dtype bfloat16: bf16 '
                              'discriminators measured as collapsing LSGAN '
                              'training (see PERF.md)')
+    parser.add_argument('--exact_knn', type=str, default=None,
+                        choices=[None, '0', '1'],
+                        help='fp32-exact kNN graph construction. Default '
+                             'per phase: test/eval exact, train/sample '
+                             'fast bf16 keys (see PERF.md divergence '
+                             'table); PDGN_EXACT_KNN env overrides the '
+                             'per-phase default but not this flag')
     return check_args(parser.parse_args(argv))
 
 
@@ -154,10 +164,13 @@ def main(argv=None) -> None:
         seed=args.seed,
         save_dir=args.save_dir,
         synthetic_size=args.synthetic_size,
+        base_points=args.base_points,
         max_steps_per_epoch=args.max_steps_per_epoch,
         profile_dir=args.profile_dir,
         compute_dtype=args.compute_dtype,
         d_compute_dtype=args.d_compute_dtype,
+        exact_knn=(None if args.exact_knn is None
+                   else args.exact_knn == '1'),
     )
     trainer = PDGNTrainer(cfg)
     trainer.build_model()

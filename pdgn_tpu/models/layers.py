@@ -37,6 +37,11 @@ Dtype = Any
 # bit-comparable to the unpadded run. The mask is delivered through a
 # trace-time context (set by the train step around its whole trace)
 # rather than threaded through every module signature.
+#
+# Single-threaded-trace assumption: like ops.edges._EXACT_KNN_OVERRIDE,
+# this is plain module state consulted at TRACE time — jax traces on the
+# caller's thread, so scoping is correct for the normal jit workflow but
+# two threads tracing concurrently with different masks would race.
 _MASK_STACK: list = []
 
 
@@ -173,7 +178,10 @@ class BatchNorm(nn.Module):
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
-            var = mean2 - jnp.square(mean)
+            # clamp at 0: the E[x^2] - E[x]^2 form can go slightly
+            # negative in floating point (consistent with the masked and
+            # paired paths, which already clamp)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             scale, bias = _BNStatsVars(momentum=self.momentum, name="bn")(
                 mean, var)
             s = scale * jax.lax.rsqrt(var + self.epsilon)

@@ -15,7 +15,8 @@ point itself) is dropped.
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,16 +25,48 @@ from pdgn_tpu.ops.grouping import grouping
 from pdgn_tpu.ops.knn import knn_exclude_first
 from pdgn_tpu.ops.pairwise import self_pairwise_sqdist
 
+# Explicit (scoped) selection of the kNN regime. The flag is consulted at
+# TRACE time, so library code selects it with :func:`exact_knn_scope`
+# around whatever builds the jit trace (e.g. the trainer's test phase)
+# instead of mutating process env. Like models.layers._MASK_STACK this
+# assumes single-threaded tracing (jax traces on the caller's thread).
+_EXACT_KNN_OVERRIDE: Optional[bool] = None
+
+
+@contextlib.contextmanager
+def exact_knn_scope(enabled: Optional[bool]):
+    """Force the kNN regime within the ``with`` body (None = no-op).
+
+    The primary API for choosing exact graphs
+    (``ExperimentConfig.exact_knn`` / ``PDGNTrainer.test(exact_knn=...)``
+    route through this); the PDGN_EXACT_KNN env var remains as an
+    ambient override for code outside a scope.
+    """
+    global _EXACT_KNN_OVERRIDE
+    if enabled is None:
+        yield
+        return
+    prev = _EXACT_KNN_OVERRIDE
+    _EXACT_KNN_OVERRIDE = bool(enabled)
+    try:
+        yield
+    finally:
+        _EXACT_KNN_OVERRIDE = prev
+
 
 def exact_knn_enabled() -> bool:
-    """PDGN_EXACT_KNN state: "0"/""/unset -> fast graphs, else exact.
+    """Current kNN regime: False -> fast bf16 graphs, True -> fp32-exact.
 
-    The trainer's test phase *defaults this on* (quality path: the metric
-    suite dwarfs generation time there); export ``PDGN_EXACT_KNN=0`` to
-    force the fast bf16 graphs everywhere.
+    An active :func:`exact_knn_scope` wins; otherwise the PDGN_EXACT_KNN
+    env var ("0"/""/unset -> fast, else exact). The trainer's test phase
+    *defaults exact on* (quality path: the metric suite dwarfs generation
+    time there); pass ``exact_knn=False`` / export ``PDGN_EXACT_KNN=0``
+    to force the fast graphs there too.
     """
     import os
 
+    if _EXACT_KNN_OVERRIDE is not None:
+        return _EXACT_KNN_OVERRIDE
     return os.environ.get("PDGN_EXACT_KNN", "") not in ("", "0")
 
 

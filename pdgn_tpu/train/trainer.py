@@ -87,6 +87,11 @@ class ExperimentConfig:
     #                                      compute_dtype: bf16 Ds measured
     #                                      as collapsing LSGAN training
     #                                      (PERF.md round-3)
+    exact_knn: Optional[bool] = None     # fp32-exact kNN graphs. None =
+    #                                      per-phase default (test/eval:
+    #                                      exact, train/sample: fast bf16
+    #                                      keys), overridable by the
+    #                                      PDGN_EXACT_KNN env var
 
     @property
     def category(self) -> str:
@@ -166,7 +171,6 @@ class PDGNTrainer:
         self._train_step = None
         self._sampler = None
         self._batched_samplers: dict = {}   # (batch_size, exact_knn) -> jit
-        self._test_samplers: dict = {}      # exact_knn -> jit
         self._log_fout = None
 
     # -- plumbing ------------------------------------------------------
@@ -342,7 +346,8 @@ class PDGNTrainer:
             print(f" [!] Load failed... ({e})")
 
     def generate(self, n: int, batch_size: Optional[int] = None,
-                 out_path: Optional[str] = None) -> np.ndarray:
+                 out_path: Optional[str] = None,
+                 exact_knn: Optional[bool] = None) -> np.ndarray:
         """Bulk generation (the ``--phase sample`` serving path).
 
         Produces ``n`` finest-resolution clouds through the batched
@@ -351,19 +356,23 @@ class PDGNTrainer:
         ``cfg.seed``. Beyond the reference's surface (its only generation
         path is buried in the test phase). Per-batch outputs compute the
         same math as :meth:`sample` for the same keys, up to compiler
-        reduction-order noise between the two programs.
+        reduction-order noise between the two programs. kNN regime
+        defaults to the fast serving graphs (argument/cfg/env override).
         """
+        from pdgn_tpu.ops.edges import exact_knn_scope
+
+        with exact_knn_scope(self._resolve_exact_knn(exact_knn, False)):
+            return self._generate_impl(n, batch_size, out_path)
+
+    def _get_batched_sampler(self, bs: int):
+        """Jitted bulk sampler, cached on self and keyed on (batch size,
+        kNN mode): a fresh jax.jit object would retrace every call, while
+        an unkeyed cache would freeze the trace-time exact-kNN state
+        across calls. A ragged final chunk still traces once per distinct
+        remainder length — scan length is part of the program."""
         from pdgn_tpu.ops.edges import exact_knn_enabled
         from pdgn_tpu.train.train_step import make_batched_sampler
 
-        cfg = self.cfg
-        self._load_for_eval()
-        bs = batch_size or cfg.batch_size
-        # jit wrapper cached on self, keyed on (batch size, kNN mode): a
-        # fresh jax.jit object would retrace every call, while an unkeyed
-        # cache would freeze the trace-time PDGN_EXACT_KNN state across
-        # calls. A ragged final chunk still traces once per distinct
-        # remainder length — scan length is part of the program.
         cache_key = (bs, exact_knn_enabled())
         sampler = self._batched_samplers.get(cache_key)
         if sampler is None:
@@ -378,7 +387,7 @@ class PDGNTrainer:
                 import warnings
 
                 warnings.warn(
-                    f"--phase sample batch_size={bs} does not divide the "
+                    f"generation batch_size={bs} does not divide the "
                     f"{n_dev}-device mesh; generating without batch "
                     "sharding. Pick a divisible batch size to use all "
                     "chips.", stacklevel=2)
@@ -387,39 +396,62 @@ class PDGNTrainer:
                                      mesh=gen_mesh),
                 static_argnames=("batch_size",))
             self._batched_samplers[cache_key] = sampler
-        n_batches = -(-n // bs)
-        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_batches)
+        return sampler
+
+    def _sample_bulk(self, keys, bs: int) -> np.ndarray:
+        """Generate ``len(keys) * bs`` finest-resolution clouds through
+        the batched sampler, ≤32 batches per device dispatch."""
+        sampler = self._get_batched_sampler(bs)
         chunks = []
-        for s in range(0, n_batches, 32):  # ≤32 batches per dispatch
+        for s in range(0, len(keys), 32):
             out = sampler(
                 self.state.g.params, self.state.g.batch_stats,
                 keys[s:s + 32], batch_size=bs)
             chunks.append(np.asarray(out).reshape(-1, *out.shape[2:]))
-        clouds = np.concatenate(chunks, axis=0)[:n]
+        return np.concatenate(chunks, axis=0)
+
+    def _generate_impl(self, n, batch_size, out_path) -> np.ndarray:
+        cfg = self.cfg
+        self._load_for_eval()
+        bs = batch_size or cfg.batch_size
+        n_batches = -(-n // bs)
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed), n_batches)
+        clouds = self._sample_bulk(keys, bs)[:n]
         if out_path is not None:
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             np.save(out_path, clouds)
         return clouds
 
-    def test(self, tile: int = 64) -> dict:
-        """Sampling + metric suite (reference models/PDGNet_v2.py:271-326)."""
-        # quality path: default to fp32-exact kNN graphs (the reference's
-        # insertion-sort semantics, knnquery_cuda_kernel.cu:29-42). The
-        # bf16 packed-key graphs measured a ~2% JSD perturbation at
-        # 64-sample granularity (PERF.md round-3) — negligible sampling
-        # speed matters here, the metric suite dominates. Export
-        # PDGN_EXACT_KNN=0 to force the fast graphs in the test phase too.
-        # Scoped to this call (restored on return): a later train() in the
-        # same process must keep the fast default.
-        if os.environ.get("PDGN_EXACT_KNN") is None:
-            os.environ["PDGN_EXACT_KNN"] = "1"
-            self._exact_knn_defaulted = True
-        try:
+    def _resolve_exact_knn(self, arg: Optional[bool],
+                           default: bool) -> bool:
+        """Precedence: explicit argument > cfg.exact_knn >
+        PDGN_EXACT_KNN env var > the phase's default."""
+        if arg is not None:
+            return bool(arg)
+        if self.cfg.exact_knn is not None:
+            return bool(self.cfg.exact_knn)
+        env = os.environ.get("PDGN_EXACT_KNN")
+        if env is not None:
+            return env not in ("", "0")
+        return default
+
+    def test(self, tile: int = 64,
+             exact_knn: Optional[bool] = None) -> dict:
+        """Sampling + metric suite (reference models/PDGNet_v2.py:271-326).
+
+        Quality path: defaults to fp32-exact kNN graphs (the reference's
+        insertion-sort semantics, knnquery_cuda_kernel.cu:29-42) — the
+        bf16 packed-key graphs measured a ~2% JSD perturbation at
+        64-sample granularity (PERF.md round-3), and the metric suite
+        dominates wall-clock here anyway. Pass ``exact_knn=False`` (or
+        set cfg.exact_knn / PDGN_EXACT_KNN=0) to force the fast graphs.
+        The regime is scoped to this call: a later train() in the same
+        process keeps the fast default.
+        """
+        from pdgn_tpu.ops.edges import exact_knn_scope
+
+        with exact_knn_scope(self._resolve_exact_knn(exact_knn, True)):
             return self._test_impl(tile)
-        finally:
-            if getattr(self, "_exact_knn_defaulted", False):
-                os.environ.pop("PDGN_EXACT_KNN", None)
-                self._exact_knn_defaulted = False
 
     def _test_impl(self, tile: int = 64) -> dict:
         from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
@@ -438,28 +470,19 @@ class PDGNTrainer:
         test_dset = self._make_dataset("test", cfg.normalize)
         ref_pcs = test_dset.full_clouds()
 
-        # flag-keyed jit wrapper: the kNN env flag is consulted at TRACE
-        # time, so self._sampler may hold a fast-graph trace from before
-        # the exact-kNN default was applied — and the exact trace must
-        # not leak back into later fast-path sample() calls either. The
-        # cache makes repeated test() calls (several checkpoints in one
-        # process) reuse the compile per kNN mode.
-        from pdgn_tpu.ops.edges import exact_knn_enabled
-
-        knn_mode = exact_knn_enabled()
-        sampler = self._test_samplers.get(knn_mode)
-        if sampler is None:
-            sampler = jax.jit(make_sampler(self.generator, self.tcfg),
-                              static_argnames=("batch_size",))
-            self._test_samplers[knn_mode] = sampler
+        # generation rides the bulk sampler (one device program for up to
+        # 32 batches — measured ~6% end-to-end in bench); the key sequence
+        # reproduces the original per-batch loop's
+        # ``rng, sub = split(rng)`` chain exactly, and the bulk-sampler
+        # cache is keyed on the kNN mode so the exact-graph trace neither
+        # misses nor leaks into later fast-path calls.
         rng = jax.random.PRNGKey(cfg.seed)
-        gen = []
+        subs = []
         for _ in range(math.ceil(len(test_dset) / cfg.batch_size)):
             rng, sub = jax.random.split(rng)
-            outs = sampler(self.state.g.params, self.state.g.batch_stats,
-                           sub, batch_size=cfg.batch_size)
-            gen.append(np.asarray(outs[3]))
-        gen_pcs = np.concatenate(gen, axis=0)[: len(test_dset)]
+            subs.append(sub)
+        gen_pcs = self._sample_bulk(jnp.stack(subs),
+                                    cfg.batch_size)[: len(test_dset)]
         np.save(os.path.join(save_dir, "nonormal_out.npy"), gen_pcs)
         if cfg.normalize is not None:
             gen_pcs = normalize_point_clouds(gen_pcs, cfg.normalize, logger)

@@ -363,3 +363,29 @@ def test_exact_knn_flag_semantics(monkeypatch):
     assert not exact_knn_enabled()
     monkeypatch.setenv("PDGN_EXACT_KNN", "1")
     assert exact_knn_enabled()
+
+
+def test_exact_knn_scope_overrides_env(monkeypatch):
+    """exact_knn_scope (the explicit-config path) beats the env var in
+    both directions, nests, treats None as a no-op, and restores the
+    previous regime on exit — including on exception."""
+    from pdgn_tpu.ops.edges import exact_knn_enabled, exact_knn_scope
+
+    monkeypatch.setenv("PDGN_EXACT_KNN", "1")
+    with exact_knn_scope(False):
+        assert not exact_knn_enabled()
+        with exact_knn_scope(None):          # None = inherit
+            assert not exact_knn_enabled()
+        with exact_knn_scope(True):          # nesting
+            assert exact_knn_enabled()
+        assert not exact_knn_enabled()
+    assert exact_knn_enabled()               # env visible again
+
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+    try:
+        with exact_knn_scope(True):
+            assert exact_knn_enabled()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not exact_knn_enabled()           # restored despite the raise

@@ -88,6 +88,43 @@ def test_test_phase_metrics_and_dumps(trained):
     assert out.shape == (6, 256, 3)
 
 
+def test_test_phase_generation_matches_per_batch_sampler(trained):
+    """The test phase generates through the bulk sampler (one scanned
+    program for up to 32 batches) — its clouds must reproduce the
+    original per-batch make_sampler loop exactly: same
+    ``rng, sub = split(rng)`` key chain, same finest-stage outputs.
+    (batch_size=3 does not divide the 8-device test mesh, so this takes
+    the unsharded bulk path — the production single-chip configuration.)
+    """
+    import math
+
+    from pdgn_tpu.ops.edges import exact_knn_scope
+    from pdgn_tpu.train.train_step import make_sampler
+
+    tr, cfg = trained
+    before = set(os.listdir(cfg.save_dir)) if os.path.isdir(
+        cfg.save_dir) else set()
+    tr.test(tile=3)
+    new_run = (set(os.listdir(cfg.save_dir)) - before).pop()
+    got = np.load(os.path.join(cfg.save_dir, new_run, "nonormal_out.npy"))
+
+    with exact_knn_scope(True):  # the test phase's quality default
+        sampler = jax.jit(make_sampler(tr.generator, tr.tcfg),
+                          static_argnames=("batch_size",))
+        rng = jax.random.PRNGKey(cfg.seed)
+        want = []
+        for _ in range(math.ceil(cfg.synthetic_size / cfg.batch_size)):
+            rng, sub = jax.random.split(rng)
+            outs = sampler(tr.state.g.params, tr.state.g.batch_stats,
+                           sub, batch_size=cfg.batch_size)
+            want.append(np.asarray(outs[3]))
+    want = np.concatenate(want, axis=0)[: cfg.synthetic_size]
+    # scan vs standalone are separately compiled programs: BN stats
+    # chains amplify reduction-order differences to ~1e-5 abs (same
+    # tolerance as test_train_step's cross-program pin)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
 def test_v1_network_uses_v1_weights(cfg_factory):
     cfg = cfg_factory(network="PDGNet")
     tr = PDGNTrainer(cfg)
@@ -154,29 +191,74 @@ def test_bf16_compute_dtype_keeps_discriminators_fp32(cfg_factory):
 
 
 def test_test_phase_exact_knn_default_is_scoped(cfg_factory, monkeypatch):
-    """trainer.test defaults PDGN_EXACT_KNN=1 only for the call's duration
-    (a later train() in the same process must keep the fast graphs), and
-    never overrides an explicit caller setting."""
+    """trainer.test defaults exact kNN on only for the call's duration
+    (a later train() in the same process must keep the fast graphs),
+    resolves argument > cfg > env > default, and never mutates process
+    env (round-3 verdict: env-mutating libraries are a foot-gun)."""
     import os
+
+    from pdgn_tpu.ops.edges import exact_knn_enabled
 
     tr = PDGNTrainer(cfg_factory())
     seen = {}
 
     def fake_impl(tile=64):
-        seen["flag"] = os.environ.get("PDGN_EXACT_KNN")
+        seen["mode"] = exact_knn_enabled()
+        seen["env"] = os.environ.get("PDGN_EXACT_KNN")
         return {}
 
     monkeypatch.setattr(tr, "_test_impl", fake_impl)
 
     monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
     tr.test()
-    assert seen["flag"] == "1"
-    assert os.environ.get("PDGN_EXACT_KNN") is None   # restored
+    assert seen["mode"] is True               # quality-path default
+    assert seen["env"] is None                # env never written
+    assert not exact_knn_enabled()            # scope restored on return
+    assert os.environ.get("PDGN_EXACT_KNN") is None
 
-    monkeypatch.setenv("PDGN_EXACT_KNN", "0")         # explicit opt-out
+    monkeypatch.setenv("PDGN_EXACT_KNN", "0")  # env opt-out respected
     tr.test()
-    assert seen["flag"] == "0"
-    assert os.environ.get("PDGN_EXACT_KNN") == "0"
+    assert seen["mode"] is False
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+
+    tr.test(exact_knn=False)                   # explicit argument
+    assert seen["mode"] is False
+
+    # cfg.exact_knn beats both the phase default and the env var, but
+    # not an explicit argument
+    tr2 = PDGNTrainer(cfg_factory(exact_knn=False))
+    monkeypatch.setattr(tr2, "_test_impl", fake_impl)
+    monkeypatch.setenv("PDGN_EXACT_KNN", "1")
+    tr2.test()
+    assert seen["mode"] is False
+    tr2.test(exact_knn=True)
+    assert seen["mode"] is True
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+
+
+def test_generate_exact_knn_defaults_fast(cfg_factory, monkeypatch):
+    """generate() (the serving path) defaults to fast graphs; cfg and
+    the explicit argument flip it — again without touching env."""
+    from pdgn_tpu.ops.edges import exact_knn_enabled
+
+    seen = {}
+
+    def fake_impl(n, batch_size, out_path):
+        seen["mode"] = exact_knn_enabled()
+        return None
+
+    monkeypatch.delenv("PDGN_EXACT_KNN", raising=False)
+    tr = PDGNTrainer(cfg_factory())
+    monkeypatch.setattr(tr, "_generate_impl", fake_impl)
+    tr.generate(4)
+    assert seen["mode"] is False
+    tr.generate(4, exact_knn=True)
+    assert seen["mode"] is True
+
+    tr2 = PDGNTrainer(cfg_factory(exact_knn=True))
+    monkeypatch.setattr(tr2, "_generate_impl", fake_impl)
+    tr2.generate(4)
+    assert seen["mode"] is True
 
 
 def test_generate_bulk_sampling(trained, tmp_path):
