@@ -34,7 +34,12 @@ coefficients,
 so the scatter collapses to ``OH^T @ [alpha | G]`` — a transposed one-hot
 matmul accumulated per sample — followed by a tiny per-point contraction
 ``d_src = S_alpha + S_G y`` in XLA. No (B, M, K, 3) residuals, no
-scatter-add.
+scatter-add. The selection residual is two words per center — the k-th
+distance ``theta`` and the last selected lane — from which the backward
+rebuilds the one-hot mask in a few full-width passes
+(``d < theta  |  (d == theta & lane <= tie)``; the round-3 version
+stored k indices and replayed k compare-adds). Distances recompute
+bit-identically in the backward (same fp32 inputs, same expression).
 
 Centers receive no gradient (they only steer the non-differentiated kNN
 graph), matching the autodiff of the gather formulation.
@@ -65,7 +70,7 @@ def _dot_t(a, b):
 
 
 def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
-                idx_ref, mu_ref, cov_ref):
+                theta_ref, tie_ref, mu_ref, cov_ref):
     T = c_ref.shape[1]
     N = srct_ref.shape[2]
 
@@ -76,15 +81,24 @@ def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     oh = jnp.zeros((T, N), jnp.float32)
-    cols = []
+    mv = am = None
     for j in range(k):
         mv = jnp.min(d, axis=1, keepdims=True)
         am = jnp.min(jnp.where(d <= mv, lane, N), axis=1, keepdims=True)
         msk = lane == am
         oh = oh + msk.astype(jnp.float32)
-        cols.append(am)
         d = jnp.where(msk, jnp.inf, d)
-    idx_ref[0] = jnp.concatenate(cols, axis=-1)
+    # compact selection residual for the backward: the k-th smallest
+    # distance theta (the final iteration's min — values are knocked out
+    # smallest-first, so mv is nondecreasing) and the final selected lane.
+    # The chain picks theta-ties in increasing lane order, so the last
+    # pick is the LARGEST selected theta-tie and the selected set is
+    # exactly {d < theta} u {d == theta and lane <= tie} — the backward
+    # rebuilds the one-hot mask from two words/center instead of k
+    # stored indices (distances recompute bit-identically: same fp32
+    # inputs, same expression).
+    theta_ref[0] = mv
+    tie_ref[0] = am
 
     ohb = oh.astype(jnp.bfloat16)
     s = _dot(ohb, p_hi_ref[0]) + _dot(ohb, p_lo_ref[0])  # (T, 12) fp32
@@ -103,16 +117,25 @@ def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
     cov_ref[0] = (s2 - cs1 - s1c + kf * cc) / kf - dd
 
 
-def _bwd_kernel(k: int, c_ref, srct_ref, idx_ref, mu_ref, gmu_ref, gcov_ref,
-                acc_ref):
+def _bwd_kernel(k: int, c_ref, srct_ref, theta_ref, tie_ref, mu_ref,
+                gmu_ref, gcov_ref, acc_ref):
     T = c_ref.shape[1]
     N = srct_ref.shape[2]
     t = pl.program_id(1)
 
+    # rebuild the selection mask from the (theta, tie) residual in a few
+    # full-width passes (the k-iteration index-compare rebuild this
+    # replaces was ~40 passes): recompute the distances bit-identically
+    # and apply the exact set characterisation from the forward.
+    d = jnp.zeros((T, N), jnp.float32)
+    for ch in range(3):
+        diff = c_ref[0, :, ch:ch + 1] - srct_ref[0, ch:ch + 1, :]
+        d = d + diff * diff
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
-    oh = jnp.zeros((T, N), jnp.float32)
-    for j in range(k):
-        oh = oh + (lane == idx_ref[0][:, j:j + 1]).astype(jnp.float32)
+    theta = theta_ref[0]                                  # (T, 1)
+    tie = tie_ref[0]                                      # (T, 1)
+    oh = ((d < theta) | ((d == theta) & (lane <= tie))
+          ).astype(jnp.float32)
 
     kf = float(k)
     g = gcov_ref[0]                                       # (T, 9) row-major
@@ -166,14 +189,15 @@ def _fwd_pallas(src, centers, k, interpret):
             shape, lambda b, t, _n=nd: (b,) + (0,) * (_n - 1),
             memory_space=pltpu.VMEM)
 
-    idx, mu, cov = pl.pallas_call(
+    theta, tie, mu, cov = pl.pallas_call(
         functools.partial(_fwd_kernel, k),
         grid=(B, M // _T),
         in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)),
                   bspec((1, N, 12)), bspec((1, N, 12))],
-        out_specs=(tspec((1, _T, k)), tspec((1, _T, 3)),
-                   tspec((1, _T, 9))),
-        out_shape=(jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+        out_specs=(tspec((1, _T, 1)), tspec((1, _T, 1)),
+                   tspec((1, _T, 3)), tspec((1, _T, 9))),
+        out_shape=(jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, M, 1), jnp.int32),
                    jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
                    jax.ShapeDtypeStruct((B, M, 9), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
@@ -181,10 +205,10 @@ def _fwd_pallas(src, centers, k, interpret):
         ),
         interpret=interpret,
     )(cf, srct, p_hi, p_lo)
-    return idx, mu, cov
+    return theta, tie, mu, cov
 
 
-def _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret):
+def _bwd_pallas(src, centers, theta, tie, mu, g_mu, g_cov, k, interpret):
     B, M, _ = centers.shape
     N = src.shape[1]
     cf = centers.astype(jnp.float32)
@@ -203,7 +227,8 @@ def _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret):
     acc = pl.pallas_call(
         functools.partial(_bwd_kernel, k),
         grid=(B, M // _T),
-        in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)), tspec((1, _T, k)),
+        in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)), tspec((1, _T, 1)),
+                  tspec((1, _T, 1)),
                   tspec((1, _T, 3)), tspec((1, _T, 3)), tspec((1, _T, 9))],
         out_specs=bspec((1, N, 12)),
         out_shape=jax.ShapeDtypeStruct((B, N, 12), jnp.float32),
@@ -211,7 +236,7 @@ def _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cf, srct, idx, mu, g_mu.astype(jnp.float32),
+    )(cf, srct, theta, tie, mu, g_mu.astype(jnp.float32),
       g_cov.astype(jnp.float32))
     s_alpha = acc[..., 0:3]
     s_g = acc[..., 3:12].reshape(B, N, 3, 3)
@@ -233,19 +258,20 @@ def _reference(src, centers, k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _fused(src, centers, k, interpret):
-    _, mu, cov = _fwd_pallas(src, centers, k, interpret)
+    _, _, mu, cov = _fwd_pallas(src, centers, k, interpret)
     return mu, cov
 
 
 def _fused_fwd(src, centers, k, interpret):
-    idx, mu, cov = _fwd_pallas(src, centers, k, interpret)
-    return (mu, cov), (src, centers, idx, mu)
+    theta, tie, mu, cov = _fwd_pallas(src, centers, k, interpret)
+    return (mu, cov), (src, centers, theta, tie, mu)
 
 
 def _fused_bwd(k, interpret, res, cts):
-    src, centers, idx, mu = res
+    src, centers, theta, tie, mu = res
     g_mu, g_cov = cts
-    d_src = _bwd_pallas(src, centers, idx, mu, g_mu, g_cov, k, interpret)
+    d_src = _bwd_pallas(src, centers, theta, tie, mu, g_mu, g_cov, k,
+                        interpret)
     # centers only steer the (non-differentiated) kNN graph
     return d_src, jnp.zeros_like(centers)
 

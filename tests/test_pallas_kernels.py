@@ -488,6 +488,51 @@ def test_local_mean_cov_matches_reference():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_local_mean_cov_exact_ties_at_k_boundary():
+    """Exact distance ties straddling the k-th neighbour: the kernel's
+    compact (theta, tie-lane) selection residual must reproduce the
+    reference first-min tie-break in BOTH directions — the forward's
+    moments and the backward's rebuilt mask (integer-lattice coordinates
+    make the tied distances bit-exact)."""
+    import itertools
+
+    import jax as _jax
+
+    from pdgn_tpu.ops.pallas.local_stats import _fused, _reference
+
+    shell1 = [p for p in set(itertools.permutations((1.0, 0.0, 0.0)))]
+    shell1 += [tuple(-c for c in p) for p in shell1]            # d^2 = 1, x6
+    shell2 = sorted(set(
+        p for s in itertools.product((1.0, -1.0), repeat=2)
+        for p in itertools.permutations((s[0], s[1], 0.0))))    # d^2 = 2, x12
+    shell3 = list(itertools.product((1.0, -1.0), repeat=3))     # d^2 = 3, x8
+    far = [(9.0 + i, 9.0, 9.0) for i in range(6)]
+    pts = np.array(shell1 + shell2 + shell3 + far, np.float32)  # (32, 3)
+    src = jnp.asarray(np.tile(pts[None], (1, 1, 1)))            # (1, 32, 3)
+    centers = jnp.zeros((1, 128, 3), jnp.float32)               # all at 0
+
+    for k in (6, 8, 18, 20):  # k=8/20 cut shell2/shell3 ties mid-shell
+        mu, cov = _fused(src, centers, k, True)
+        mu_r, cov_r = _reference(src, centers, k)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_r),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"k={k}")
+        np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_r),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"k={k}")
+
+        def loss_k(s, _k=k):
+            mu, cov = _fused(s, centers, _k, True)
+            return jnp.sum(mu * jnp.sin(mu)) + jnp.sum(cov ** 2)
+
+        def loss_r(s, _k=k):
+            mu, cov = _reference(s, centers, _k)
+            return jnp.sum(mu * jnp.sin(mu)) + jnp.sum(cov ** 2)
+
+        g1 = _jax.grad(loss_k)(src)
+        g2 = _jax.grad(loss_r)(src)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"k={k}")
+
+
 def test_local_mean_cov_gradient_matches_reference():
     import jax as _jax
 
