@@ -123,7 +123,12 @@ def child_sampling(batch: int = 128, iters: int = 30) -> dict:
     }
 
 
-def child_train(batch: int = 35, iters: int = 10) -> dict:
+def child_train(batch: int = 35, iters: int = 10,
+                gen_dtype: str = None) -> dict:
+    """GAN step throughput. ``gen_dtype='bfloat16'`` measures the
+    validated fast configuration (G-only mixed precision — quality
+    inside the fp32 seed band, PERF.md; discriminators stay fp32, the
+    bf16-D variant is measured-collapsing)."""
     jax = _child_setup()
     import jax.numpy as jnp
     import numpy as np
@@ -137,9 +142,10 @@ def child_train(batch: int = 35, iters: int = 10) -> dict:
     sizes = (256, 512, 1024, 2048)
     if _smoke():
         batch, iters, sizes = 2, 1, (32, 64, 128, 256)
-        gen = PointGenerator(num_point=256, base_points=16)
+        gen = PointGenerator(num_point=256, base_points=16,
+                             dtype=gen_dtype)
     else:
-        gen = PointGenerator()
+        gen = PointGenerator(dtype=gen_dtype)
     discs = (PointDiscriminator1(), PointDiscriminator2(),
              PointDiscriminator3(), PointDiscriminator4())
     cfg = TrainConfig()
@@ -210,6 +216,7 @@ _CHILDREN = {
     "probe": child_probe,
     "sampling": child_sampling,
     "train": child_train,
+    "train_bf16": lambda: child_train(gen_dtype="bfloat16"),
     "eval": child_eval,
 }
 
@@ -305,12 +312,17 @@ def main() -> int:
     samp = _run_child("sampling", 2100.0)
     if not samp.get("ok") and not samp.get("hung"):
         samp = _run_child("sampling", 2100.0)  # crash = flap: retry once
-    for name, key, timeout_s in (("train", "gan_steps_per_sec_b35", 2400.0),
-                                 ("eval", "eval_cd_emd_pairs_per_sec", 900.0)):
+    for name, key, timeout_s in (
+            ("train", "gan_steps_per_sec_b35", 2400.0),
+            ("train_bf16", "gan_steps_per_sec_b35_bf16g", 2400.0),
+            ("eval", "eval_cd_emd_pairs_per_sec", 900.0)):
         rec = _run_child(name, timeout_s)
         if rec.get("ok"):
             extras[key] = rec["value"]
-            extras.update(rec.get("extras", {}))
+            sub = dict(rec.get("extras", {}))
+            if name == "train_bf16":  # don't clobber the fp32 figures
+                sub = {f"{k}_bf16g": v for k, v in sub.items()}
+            extras.update(sub)
         else:
             extras[key] = "error: " + rec.get("error", "?")
     if isinstance(extras.get("eval_cd_emd_pairs_per_sec"), (int, float)):

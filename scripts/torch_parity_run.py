@@ -174,6 +174,21 @@ def train_reference_cpu(epochs, size, batch_size, lr, seed, ckpt_dir):
     return G, path_g, path_d
 
 
+def load_trained_reference(path_g):
+    """Rebuild the torch generator from a saved parity checkpoint.
+
+    Lets an interrupted run resume at the convert/sample/metric phases
+    without repeating the CPU training (~40 min at epochs=6).
+    """
+    import torch
+
+    ref, _ = load_reference_modules()
+    G = ref.PointGenerator(num_point=2048, num_k=20, softmax=True)
+    G.load_state_dict(torch.load(path_g, weights_only=False)["G_model"])
+    G.eval()
+    return G
+
+
 def sample_both(G_torch, msgpack_g, n_samples, batch_size):
     """Same z through the torch model and the converted flax model."""
     import torch
@@ -252,6 +267,9 @@ def main():
     ap.add_argument("--seed", type=int, default=2020)
     ap.add_argument("--n_eval", type=int, default=16)
     ap.add_argument("--out", default="/tmp/torch_parity")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip training; load {epochs}_synthetic_*.pth "
+                         "already present in --out")
     args = ap.parse_args()
 
     from pdgn_tpu.convert_ckpt import convert_files
@@ -259,10 +277,16 @@ def main():
     from pdgn_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
     from pdgn_tpu.train.trainer import normalize_point_clouds
 
-    print("== training reference torch modules on CPU ==", flush=True)
-    G, path_g, path_d = train_reference_cpu(
-        args.epochs, args.size, args.batch_size, args.lr, args.seed,
-        args.out)
+    path_g = os.path.join(args.out, f"{args.epochs}_synthetic_G.pth")
+    path_d = os.path.join(args.out, f"{args.epochs}_synthetic_D.pth")
+    if args.resume and os.path.exists(path_g):
+        print("== resuming from saved torch checkpoint ==", flush=True)
+        G = load_trained_reference(path_g)
+    else:
+        print("== training reference torch modules on CPU ==", flush=True)
+        G, path_g, path_d = train_reference_cpu(
+            args.epochs, args.size, args.batch_size, args.lr, args.seed,
+            args.out)
 
     print("== converting checkpoint ==", flush=True)
     mp_g, _ = convert_files(path_g, path_d, args.out, category="synthetic")

@@ -69,7 +69,9 @@ def test_smoke_bench_produces_full_record():
     ex = rec["extras"]
     assert ex["mfu_sampling"] > 0
     assert ex["gan_steps_per_sec_b35"] > 0
+    assert ex["gan_steps_per_sec_b35_bf16g"] > 0
     assert ex["train_step_xla_flops"] > 0
     assert ex["mfu_train"] > 0
+    assert ex["mfu_train_bf16g"] > 0
     assert ex["eval_cd_emd_pairs_per_sec"] > 0
     assert ex["est_full_chair_eval_minutes"] > 0
