@@ -22,7 +22,11 @@ form around the center coordinate ``c``:
 The forward kernel therefore computes distances (fp32-exact direct
 differences, as the CUDA knnquery does), extracts the K nearest with the
 reference's first-min tie-break, accumulates OH on the fly and performs
-the payload matmul — the neighbourhood tensor never exists.
+the payload matmul — the neighbourhood tensor never exists. Two exact
+selection implementations are provided (``PDGN_LOCAL_STATS_SELECT``):
+the k-iteration first-min ``chain`` and a bitwise binary-search
+``radix`` select whose pass count is independent of k (see
+``_radix_select``). Both produce the identical selected set.
 
 The backward is even better: the cotangent of each neighbour value is an
 *affine function of the neighbour coordinate* with per-center
@@ -69,7 +73,77 @@ def _dot_t(a, b):
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())), **_F32)
 
 
-def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
+def _chain_select(d, lane, k):
+    """Reference-semantics selection by k sequential first-min picks.
+
+    Returns ``(oh, theta, tie)``: the summed one-hot mask, the k-th
+    smallest distance (the final iteration's min — values are knocked
+    out smallest-first, so the running min is nondecreasing) and the
+    final selected lane. The chain picks theta-ties in increasing lane
+    order, so the last pick is the LARGEST selected theta-tie and the
+    selected set is exactly {d < theta} u {d == theta and lane <= tie}.
+    ~6 full-width VPU passes per iteration (two reductions + mask,
+    accumulate, knockout) => ~6k passes.
+    """
+    N = d.shape[1]
+    oh = jnp.zeros_like(d)
+    mv = am = None
+    for j in range(k):
+        mv = jnp.min(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d <= mv, lane, N), axis=1, keepdims=True)
+        msk = lane == am
+        oh = oh + msk.astype(jnp.float32)
+        d = jnp.where(msk, jnp.inf, d)
+    return oh, mv, am
+
+
+def _radix_select(d, lane, k):
+    """Exact (theta, tie) by bitwise binary search — same selected set
+    as ``_chain_select``, fewer passes for practical k.
+
+    Non-negative fp32 order-matches its int32 bit pattern, so the k-th
+    smallest distance (with multiplicity) is found by a 31-step MSB->LSB
+    search on the bitcast values: keep the largest prefix ``p`` with
+    ``count(bits < p) < k``; the window halves each step, ending at
+    theta exactly. The boundary lane is the same search over the <=11
+    lane-index bits restricted to the theta-tie set. ~2 passes per step
+    (compare + row-sum) => ~(31 + lanebits) * 2 + 5 passes, independent
+    of k — vs the chain's ~6k. Selection semantics are IDENTICAL
+    (first-min tie-break); this is a pure speed variant
+    (PDGN_LOCAL_STATS_SELECT=radix).
+    """
+    N = d.shape[1]
+    T = d.shape[0]
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)     # d >= 0: monotone
+    kf = float(k)
+
+    p = jnp.zeros((T, 1), jnp.int32)
+    for b in range(30, -1, -1):                           # sign bit never set
+        cand = p | (1 << b)
+        cnt = jnp.sum((bits < cand).astype(jnp.float32), axis=1,
+                      keepdims=True)
+        p = jnp.where(cnt >= kf, p, cand)
+    less = bits < p
+    lessf = less.astype(jnp.float32)
+    c_less = jnp.sum(lessf, axis=1, keepdims=True)
+    r = kf - c_less                                       # rank in tie set
+    eq = bits == p
+
+    tie = jnp.zeros((T, 1), jnp.int32)
+    for b in range((N - 1).bit_length() - 1, -1, -1):
+        cand = tie | (1 << b)
+        cnt = jnp.sum(jnp.where(eq & (lane < cand), 1.0, 0.0), axis=1,
+                      keepdims=True)
+        tie = jnp.where(cnt >= r, tie, cand)
+    oh = lessf + jnp.where(eq & (lane <= tie), 1.0, 0.0)
+    theta = jax.lax.bitcast_convert_type(p, jnp.float32)
+    return oh, theta, tie
+
+
+_SELECTS = {"chain": _chain_select, "radix": _radix_select}
+
+
+def _fwd_kernel(k: int, select: str, c_ref, srct_ref, p_hi_ref, p_lo_ref,
                 theta_ref, tie_ref, mu_ref, cov_ref):
     T = c_ref.shape[1]
     N = srct_ref.shape[2]
@@ -80,25 +154,13 @@ def _fwd_kernel(k: int, c_ref, srct_ref, p_hi_ref, p_lo_ref,
         d = d + diff * diff
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
-    oh = jnp.zeros((T, N), jnp.float32)
-    mv = am = None
-    for j in range(k):
-        mv = jnp.min(d, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(d <= mv, lane, N), axis=1, keepdims=True)
-        msk = lane == am
-        oh = oh + msk.astype(jnp.float32)
-        d = jnp.where(msk, jnp.inf, d)
-    # compact selection residual for the backward: the k-th smallest
-    # distance theta (the final iteration's min — values are knocked out
-    # smallest-first, so mv is nondecreasing) and the final selected lane.
-    # The chain picks theta-ties in increasing lane order, so the last
-    # pick is the LARGEST selected theta-tie and the selected set is
-    # exactly {d < theta} u {d == theta and lane <= tie} — the backward
-    # rebuilds the one-hot mask from two words/center instead of k
-    # stored indices (distances recompute bit-identically: same fp32
-    # inputs, same expression).
-    theta_ref[0] = mv
-    tie_ref[0] = am
+    # compact selection residual for the backward: theta and the last
+    # selected theta-tie lane — the backward rebuilds the one-hot mask
+    # from two words/center instead of k stored indices (distances
+    # recompute bit-identically: same fp32 inputs, same expression).
+    oh, theta, tie = _SELECTS[select](d, lane, k)
+    theta_ref[0] = theta
+    tie_ref[0] = tie
 
     ohb = oh.astype(jnp.bfloat16)
     s = _dot(ohb, p_hi_ref[0]) + _dot(ohb, p_lo_ref[0])  # (T, 12) fp32
@@ -172,7 +234,7 @@ def _payload(src):
     return hi, lo
 
 
-def _fwd_pallas(src, centers, k, interpret):
+def _fwd_pallas(src, centers, k, interpret, select="chain"):
     B, M, _ = centers.shape
     N = src.shape[1]
     cf = centers.astype(jnp.float32)
@@ -190,7 +252,7 @@ def _fwd_pallas(src, centers, k, interpret):
             memory_space=pltpu.VMEM)
 
     theta, tie, mu, cov = pl.pallas_call(
-        functools.partial(_fwd_kernel, k),
+        functools.partial(_fwd_kernel, k, select),
         grid=(B, M // _T),
         in_specs=[tspec((1, _T, 3)), bspec((1, 3, N)),
                   bspec((1, N, 12)), bspec((1, N, 12))],
@@ -256,18 +318,20 @@ def _reference(src, centers, k):
     return mu, cov.reshape(B, M, 9)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused(src, centers, k, interpret):
-    _, _, mu, cov = _fwd_pallas(src, centers, k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused(src, centers, k, interpret, select="chain"):
+    _, _, mu, cov = _fwd_pallas(src, centers, k, interpret, select)
     return mu, cov
 
 
-def _fused_fwd(src, centers, k, interpret):
-    theta, tie, mu, cov = _fwd_pallas(src, centers, k, interpret)
+def _fused_fwd(src, centers, k, interpret, select="chain"):
+    theta, tie, mu, cov = _fwd_pallas(src, centers, k, interpret, select)
     return (mu, cov), (src, centers, theta, tie, mu)
 
 
-def _fused_bwd(k, interpret, res, cts):
+def _fused_bwd(k, interpret, select, res, cts):
+    # select only affects how the forward FOUND (theta, tie); the
+    # residual and the rebuilt mask are representation-identical
     src, centers, theta, tie, mu = res
     g_mu, g_cov = cts
     d_src = _bwd_pallas(src, centers, theta, tie, mu, g_mu, g_cov, k,
@@ -293,7 +357,7 @@ def local_stats_ok(src, centers, k: int) -> bool:
 
 
 def local_mean_cov(src: jnp.ndarray, centers: jnp.ndarray, k: int = 20, *,
-                   interpret: bool = False
+                   interpret: bool = False, select: str = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean and covariance of each center's k-NN neighbourhood in ``src``.
 
@@ -302,11 +366,22 @@ def local_mean_cov(src: jnp.ndarray, centers: jnp.ndarray, k: int = 20, *,
       centers: ``(B, M, 3)`` query centers (kNN *includes* the query point
         when ``src is centers`` — reference knnquery semantics).
       k: neighbourhood size.
+      select: selection implementation, ``"chain"`` or ``"radix"`` —
+        identical exact results, different pass structure (see
+        ``_radix_select``). Defaults to ``$PDGN_LOCAL_STATS_SELECT`` or
+        ``"chain"``.
 
     Returns:
       ``mu (B, M, 3)`` and ``cov (B, M, 9)`` fp32 (reference 1/K biased
       normalisation).
     """
+    if select is None:
+        import os
+
+        select = os.environ.get("PDGN_LOCAL_STATS_SELECT", "chain")
+    if select not in _SELECTS:
+        raise ValueError(f"unknown local-stats select {select!r}; "
+                         f"expected one of {sorted(_SELECTS)}")
     if local_stats_ok(src, centers, k) or interpret:
-        return _fused(src, centers, k, interpret)
+        return _fused(src, centers, k, interpret, select)
     return _reference(src, centers, k)

@@ -5,6 +5,8 @@ The jnp implementations are themselves validated against float64 oracles
 oracle == jnp == pallas.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -554,6 +556,78 @@ def test_local_mean_cov_gradient_matches_reference():
     g2 = _jax.grad(loss_r)(src)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_local_mean_cov_radix_select_matches_chain():
+    """The radix (bitwise binary-search) selection is pass-restructured
+    but must be bit-equivalent to the first-min chain: same moments,
+    same (theta, tie) residual semantics, same gradients — on random
+    data, on exact tie shells straddling the k boundary, and on clouds
+    with duplicated points (bit-equal distances)."""
+    import itertools
+
+    import jax as _jax
+
+    from pdgn_tpu.ops.pallas.local_stats import _fused
+
+    rng = np.random.RandomState(21)
+    src = jnp.asarray(rng.randn(2, 200, 3).astype(np.float32) * 0.4)
+    centers = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.4)
+    for k in (1, 8, 20):
+        mu_c, cov_c = _fused(src, centers, k, True, "chain")
+        mu_r, cov_r = _fused(src, centers, k, True, "radix")
+        np.testing.assert_array_equal(np.asarray(mu_c), np.asarray(mu_r),
+                                      err_msg=f"k={k}")
+        np.testing.assert_array_equal(np.asarray(cov_c), np.asarray(cov_r),
+                                      err_msg=f"k={k}")
+
+    # exact tie shells around the origin (integer lattice: bit-exact)
+    shell1 = [p for p in set(itertools.permutations((1.0, 0.0, 0.0)))]
+    shell1 += [tuple(-c for c in p) for p in shell1]
+    shell2 = sorted(set(
+        p for s in itertools.product((1.0, -1.0), repeat=2)
+        for p in itertools.permutations((s[0], s[1], 0.0))))
+    shell3 = list(itertools.product((1.0, -1.0), repeat=3))
+    far = [(9.0 + i, 9.0, 9.0) for i in range(6)]
+    pts = np.array(shell1 + shell2 + shell3 + far, np.float32)
+    tsrc = jnp.asarray(pts[None])
+    tcent = jnp.zeros((1, 128, 3), jnp.float32)
+    # duplicated points: several bit-identical distances per row
+    dup = np.tile(rng.randn(1, 50, 3).astype(np.float32) * 0.3, (1, 4, 1))
+    dsrc = jnp.asarray(dup)
+    for s, c in ((tsrc, tcent), (dsrc, centers[:1])):
+        for k in (6, 8, 20):
+            mu_c, cov_c = _fused(s, c, k, True, "chain")
+            mu_r, cov_r = _fused(s, c, k, True, "radix")
+            np.testing.assert_array_equal(
+                np.asarray(mu_c), np.asarray(mu_r), err_msg=f"k={k}")
+            np.testing.assert_array_equal(
+                np.asarray(cov_c), np.asarray(cov_r), err_msg=f"k={k}")
+
+            def loss(x, _k=k, _c=c, _sel="radix"):
+                mu, cov = _fused(x, _c, _k, True, _sel)
+                return jnp.sum(mu * jnp.sin(mu)) + jnp.sum(cov ** 2)
+
+            g_r = _jax.grad(functools.partial(loss, _sel="radix"))(s)
+            g_c = _jax.grad(functools.partial(loss, _sel="chain"))(s)
+            np.testing.assert_array_equal(
+                np.asarray(g_r), np.asarray(g_c), err_msg=f"k={k}")
+
+
+def test_local_mean_cov_select_env_default(monkeypatch):
+    from pdgn_tpu.ops.pallas import local_stats
+
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randn(1, 96, 3).astype(np.float32))
+    centers = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32))
+    monkeypatch.setenv("PDGN_LOCAL_STATS_SELECT", "radix")
+    mu_env, _ = local_stats.local_mean_cov(src, centers, 4, interpret=True)
+    mu_r, _ = local_stats.local_mean_cov(src, centers, 4, interpret=True,
+                                         select="radix")
+    np.testing.assert_array_equal(np.asarray(mu_env), np.asarray(mu_r))
+    monkeypatch.setenv("PDGN_LOCAL_STATS_SELECT", "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        local_stats.local_mean_cov(src, centers, 4, interpret=True)
 
 
 def test_slot_moment_stats_matches_jnp():
