@@ -40,6 +40,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SIZES = (256, 512, 1024, 2048)
+SMOKE = os.environ.get("PDGN_PROFILE_SMOKE", "") not in ("", "0")
+if SMOKE:  # CPU-testable sizes: validates the builders, not performance
+    SIZES = (32, 64, 128, 256)
+
+
+def _gen_kwargs():
+    return dict(num_point=SIZES[-1], base_points=16) if SMOKE else {}
 
 
 def _setup_jax():
@@ -56,7 +63,7 @@ def _gen_and_params(batch):
 
     from pdgn_tpu.models import PointGenerator
 
-    model = PointGenerator()
+    model = PointGenerator(**_gen_kwargs())
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((batch, 128)))
     return model, variables
@@ -136,7 +143,7 @@ def build_step(batch):
     )
     from pdgn_tpu.train import TrainConfig, init_state, make_train_step
 
-    gen = PointGenerator()
+    gen = PointGenerator(**_gen_kwargs())
     discs = (PointDiscriminator1(), PointDiscriminator2(),
              PointDiscriminator3(), PointDiscriminator4())
     cfg = TrainConfig()
