@@ -344,7 +344,7 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int,
 def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
                         tile: int = 8, verbose: bool = False,
                         fast_symmetric: bool = False,
-                        mesh=None) -> Dict[str, float]:
+                        mesh=None, with_emd: bool = True) -> Dict[str, float]:
     """The full suite (reference ``compute_all_metrics``, :172-200).
 
     ``batch_size`` is accepted for API parity; tiling replaces it.
@@ -352,29 +352,36 @@ def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
     triangle — ~1.5x faster overall, perturbs 1-NNA by ~0.1% (EMD is not
     exactly symmetric); off by default for reference parity.
     ``mesh`` distributes every pairwise matrix across its devices (see
-    :func:`pairwise_cd_emd`).
+    :func:`pairwise_cd_emd`). ``with_emd=False`` skips the EMD family
+    (the pairwise approxmatch dominates the suite's cost; CPU parity
+    sweeps at large N use the CD+JSD half only).
     """
     results: Dict[str, float] = {}
     M_rs_cd, M_rs_emd = pairwise_cd_emd(sample_pcs, ref_pcs, tile=tile,
-                                        verbose=verbose, mesh=mesh)
+                                        verbose=verbose, mesh=mesh,
+                                        with_emd=with_emd)
 
-    for name, M in (("CD", M_rs_cd), ("EMD", M_rs_emd)):
+    fams = (("CD", M_rs_cd), ("EMD", M_rs_emd)) if with_emd \
+        else (("CD", M_rs_cd),)
+    for name, M in fams:
         res = lgan_mmd_cov(M.T)
         results.update({f"{k}-{name}": v for k, v in res.items()})
 
     M_rr_cd, M_rr_emd = pairwise_cd_emd(ref_pcs, ref_pcs, tile=tile,
-                                        verbose=verbose,
+                                        verbose=verbose, with_emd=with_emd,
                                         symmetric=fast_symmetric, mesh=mesh)
     M_ss_cd, M_ss_emd = pairwise_cd_emd(sample_pcs, sample_pcs, tile=tile,
-                                        verbose=verbose,
+                                        verbose=verbose, with_emd=with_emd,
                                         symmetric=fast_symmetric, mesh=mesh)
 
     one_nn_cd = knn_classifier(M_rr_cd, M_rs_cd, M_ss_cd, 1, sqrt=False)
     results.update({f"1-NN-CD-{k}": v for k, v in one_nn_cd.items()
                     if "acc" in k})
-    one_nn_emd = knn_classifier(M_rr_emd, M_rs_emd, M_ss_emd, 1, sqrt=False)
-    results.update({f"1-NN-EMD-{k}": v for k, v in one_nn_emd.items()
-                    if "acc" in k})
+    if with_emd:
+        one_nn_emd = knn_classifier(M_rr_emd, M_rs_emd, M_ss_emd, 1,
+                                    sqrt=False)
+        results.update({f"1-NN-EMD-{k}": v for k, v in one_nn_emd.items()
+                        if "acc" in k})
     return results
 
 

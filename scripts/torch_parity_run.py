@@ -270,6 +270,11 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="skip training; load {epochs}_synthetic_*.pth "
                          "already present in --out")
+    ap.add_argument("--skip_emd", action="store_true",
+                    help="CD+JSD metrics only — the pairwise approxmatch "
+                         "EMD dominates the suite's CPU cost at large "
+                         "--n_eval (EMD agreement is pinned by the n=16 "
+                         "run and the float64-oracle tests)")
     args = ap.parse_args()
 
     from pdgn_tpu.convert_ckpt import convert_files
@@ -299,9 +304,11 @@ def main():
                               seed=7).full_clouds()
 
     print("== pdgn_tpu metric suite on both gen sets ==", flush=True)
-    res_t = compute_all_metrics(gen_torch, ref_set, args.batch_size)
+    res_t = compute_all_metrics(gen_torch, ref_set, args.batch_size,
+                                with_emd=not args.skip_emd)
     res_t["jsd"] = jsd_between_point_cloud_sets(gen_torch, ref_set)
-    res_j = compute_all_metrics(gen_jax, ref_set, args.batch_size)
+    res_j = compute_all_metrics(gen_jax, ref_set, args.batch_size,
+                                with_emd=not args.skip_emd)
     res_j["jsd"] = jsd_between_point_cloud_sets(gen_jax, ref_set)
 
     print("== reference metric code (CD+JSD) on the jax gen set ==",

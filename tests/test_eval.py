@@ -95,6 +95,18 @@ def test_compute_all_metrics_keys(cloud_sets):
     assert abs(res_same["lgan_mmd-CD"]) < 1e-5
 
 
+def test_compute_all_metrics_cd_only_matches_full(cloud_sets):
+    # with_emd=False (the CPU parity sweep's large-n mode) must drop the
+    # EMD family and leave every CD value bit-identical to the full suite
+    sample, ref = cloud_sets
+    full = compute_all_metrics(sample, ref, tile=6)
+    cd = compute_all_metrics(sample, ref, tile=6, with_emd=False)
+    assert not any("EMD" in k for k in cd)
+    assert set(cd) == {k for k in full if "EMD" not in k}
+    for k, v in cd.items():
+        assert v == full[k], (k, v, full[k])
+
+
 def test_unit_cube_grid_matches_reference_loop():
     grid, spacing = unit_cube_grid_point_cloud(5)
     assert grid.shape == (5, 5, 5, 3)
