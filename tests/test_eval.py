@@ -5,6 +5,9 @@ The oracles re-implement the reference evaluation_metrics.py reductions
 off-diagonal block, sklearn-NN occupancy JSD) literally in numpy.
 """
 
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -169,3 +172,63 @@ def test_symmetric_pairwise_matches_full(cloud_sets):
     rel = np.abs(emd_sym - emd_full) / (np.abs(emd_full) + 1e-6)
     np.fill_diagonal(rel, 0)
     assert rel.max() < 0.05, rel.max()
+
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF),
+                    reason="reference tree not available")
+def test_metric_suite_agrees_with_reference_metric_code(cloud_sets):
+    """Our CD metrics + JSD vs the reference's own CPU metric code on
+    IDENTICAL inputs (evaluation/evaluation_metrics.py: distChamfer,
+    lgan_mmd_cov, knn, jsd_between_point_cloud_sets) — the in-suite pin
+    of the trained-checkpoint parity run's metric-code-agreement half
+    (scripts/torch_parity_run.py; PERF.md)."""
+    torch = pytest.importorskip("torch")
+    import types
+
+    sys.path.insert(0, REF)
+    for name in ("pointops_cuda", "structural_loss_cuda", "emd_cuda",
+                 "evaluation.StructuralLosses",
+                 "evaluation.StructuralLosses.match_cost",
+                 "evaluation.StructuralLosses.nn_distance"):
+        m = types.ModuleType(name)
+        m.match_cost = lambda *a: None
+        m.nn_distance = lambda *a: None
+        sys.modules.setdefault(name, m)
+    try:
+        from evaluation.evaluation_metrics import (
+            distChamfer, jsd_between_point_cloud_sets as ref_jsd,
+            knn as ref_knn, lgan_mmd_cov as ref_mmd_cov)
+    finally:
+        sys.path.remove(REF)
+
+    sample, ref = cloud_sets
+    ours = compute_all_metrics(sample, ref, tile=6, with_emd=False)
+    ours_jsd = jsd_between_point_cloud_sets(sample, ref)
+
+    ts, tr = torch.from_numpy(sample), torch.from_numpy(ref)
+
+    def cd_matrix(a, b):
+        rows = []
+        for i in range(a.shape[0]):
+            dl, dr = distChamfer(
+                a[i:i + 1].expand(b.shape[0], -1, -1), b)
+            rows.append((dl.mean(dim=1) + dr.mean(dim=1)).unsqueeze(0))
+        return torch.cat(rows, dim=0)
+
+    M_sr = cd_matrix(ts, tr)
+    theirs = {f"{k}-CD": v for k, v in ref_mmd_cov(M_sr.t()).items()}
+    # reference quirk: knn receives the (N_s, N_r) matrix where (N_r,
+    # N_s) is expected (evaluation_metrics.py:191) — ours preserves it
+    one_nn = ref_knn(cd_matrix(tr, tr), M_sr, cd_matrix(ts, ts), 1,
+                     sqrt=False)
+
+    for k in ("lgan_mmd-CD", "lgan_cov-CD", "lgan_mmd_smp-CD"):
+        np.testing.assert_allclose(ours[k], float(theirs[k]), rtol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(ours["1-NN-CD-acc"], float(one_nn["acc"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(ours_jsd, float(ref_jsd(sample, ref)),
+                               rtol=1e-5)
