@@ -303,14 +303,15 @@ def main() -> int:
     probe = _probe()
     if not probe.get("ok"):
         extras["bench_wall_s"] = round(time.time() - t_start, 1)
-        # not a measurement from this run: the builder's most recent
-        # self-measured figures (methodology in PERF.md), embedded so a
-        # dead-tunnel record still carries the last known performance
-        extras["self_measured_clouds_per_sec"] = 4302.0
-        extras["self_measured_gan_steps_per_sec_b35"] = 12.8
+        # not a measurement from this run: the last full live-bench
+        # figures (PERF.md "Live bench record", captured 2026-08-18),
+        # embedded so a dead-tunnel record still carries the last known
+        # performance
+        extras["last_live_clouds_per_sec"] = 4303.9
+        extras["last_live_gan_steps_per_sec_b35"] = 13.049
         _emit(0.0, extras,
               "TPU backend unavailable: " + probe.get("error", "probe "
-              "failed") + " (self-measured numbers are in PERF.md)")
+              "failed") + " (last live-bench numbers are in PERF.md)")
         return 0
     extras["device"] = probe.get("extras", {}).get("device", "?")
 

@@ -26,7 +26,8 @@ the payload matmul — the neighbourhood tensor never exists. Two exact
 selection implementations are provided (``PDGN_LOCAL_STATS_SELECT``):
 the k-iteration first-min ``chain`` and a bitwise binary-search
 ``radix`` select whose pass count is independent of k (see
-``_radix_select``). Both produce the identical selected set.
+``_radix_select``). Both produce the identical selected set; ``radix``
+is the default (measured faster at training shapes, PERF.md round 4).
 
 The backward is even better: the cotangent of each neighbour value is an
 *affine function of the neighbour coordinate* with per-center
@@ -369,7 +370,9 @@ def local_mean_cov(src: jnp.ndarray, centers: jnp.ndarray, k: int = 20, *,
       select: selection implementation, ``"chain"`` or ``"radix"`` —
         identical exact results, different pass structure (see
         ``_radix_select``). Defaults to ``$PDGN_LOCAL_STATS_SELECT`` or
-        ``"chain"``.
+        ``"radix"`` (measured faster at training shapes: 46.1 vs
+        51.0 ms/iter wall, 72.1 vs 85.3 ms device time for the B=35
+        shape-loss fwd+bwd program — PERF.md round-4 A/B).
 
     Returns:
       ``mu (B, M, 3)`` and ``cov (B, M, 9)`` fp32 (reference 1/K biased
@@ -378,7 +381,7 @@ def local_mean_cov(src: jnp.ndarray, centers: jnp.ndarray, k: int = 20, *,
     if select is None:
         import os
 
-        select = os.environ.get("PDGN_LOCAL_STATS_SELECT", "chain")
+        select = os.environ.get("PDGN_LOCAL_STATS_SELECT", "radix")
     if select not in _SELECTS:
         raise ValueError(f"unknown local-stats select {select!r}; "
                          f"expected one of {sorted(_SELECTS)}")
