@@ -303,7 +303,17 @@ def knn_classifier(Mxx: np.ndarray, Mxy: np.ndarray, Myy: np.ndarray,
     if sqrt:
         M = np.sqrt(np.abs(M))
     np.fill_diagonal(M, np.inf)
-    idx = np.argsort(M, axis=0, kind="stable")[:k]        # k smallest per col
+    # only the SET of k nearest per column matters (majority vote).
+    # Stable argsort at chair scale (n=1324: full matrix ~14 MB) keeps
+    # the pinned lowest-index tie order; past that, O(n^2 log n) and the
+    # materialised argsort get expensive, so switch to O(n^2)
+    # argpartition — same set except for exact float64 ties at the k-th
+    # boundary, which distinct cloud pairs never produce
+    n = M.shape[0]
+    if n <= 4096 or k + 1 >= n:
+        idx = np.argsort(M, axis=0, kind="stable")[:k]    # k smallest per col
+    else:
+        idx = np.argpartition(M, k - 1, axis=0)[:k]
     count = label[idx].sum(axis=0)
     pred = (count >= (float(k) / 2)).astype(np.float64)
 
@@ -354,7 +364,12 @@ def compute_all_metrics(sample_pcs, ref_pcs, batch_size: Optional[int] = None,
     ``mesh`` distributes every pairwise matrix across its devices (see
     :func:`pairwise_cd_emd`). ``with_emd=False`` skips the EMD family
     (the pairwise approxmatch dominates the suite's cost; CPU parity
-    sweeps at large N use the CD+JSD half only).
+    sweeps at large N use the CD+JSD half only). Note that on TPU
+    ``with_emd=False`` also switches the CD computation to the ``exact``
+    pair-tile path (the fused pallas/xla paths always compute EMD), so
+    CD-only results differ from the full suite's CD at the fused paths'
+    numeric tolerance; force ``PDGN_EVAL_IMPL=exact`` to compare the two
+    modes bit-identically.
     """
     results: Dict[str, float] = {}
     M_rs_cd, M_rs_emd = pairwise_cd_emd(sample_pcs, ref_pcs, tile=tile,

@@ -98,10 +98,15 @@ def test_compute_all_metrics_keys(cloud_sets):
     assert abs(res_same["lgan_mmd-CD"]) < 1e-5
 
 
-def test_compute_all_metrics_cd_only_matches_full(cloud_sets):
+def test_compute_all_metrics_cd_only_matches_full(cloud_sets, monkeypatch):
     # with_emd=False (the CPU parity sweep's large-n mode) must drop the
-    # EMD family and leave every CD value bit-identical to the full suite
+    # EMD family and leave every CD value bit-identical to the full suite.
+    # Pin both calls to the exact pair-tile path: on TPU the full suite
+    # would pick a fused pallas/xla path whose CD numerics differ from
+    # the exact path with_emd=False always takes (see the
+    # compute_all_metrics docstring).
     sample, ref = cloud_sets
+    monkeypatch.setenv("PDGN_EVAL_IMPL", "exact")
     full = compute_all_metrics(sample, ref, tile=6)
     cd = compute_all_metrics(sample, ref, tile=6, with_emd=False)
     assert not any("EMD" in k for k in cd)
@@ -179,16 +184,23 @@ REF = "/root/reference"
 
 @pytest.mark.skipif(not os.path.isdir(REF),
                     reason="reference tree not available")
-def test_metric_suite_agrees_with_reference_metric_code(cloud_sets):
+def test_metric_suite_agrees_with_reference_metric_code(cloud_sets,
+                                                        monkeypatch,
+                                                        request):
     """Our CD metrics + JSD vs the reference's own CPU metric code on
     IDENTICAL inputs (evaluation/evaluation_metrics.py: distChamfer,
     lgan_mmd_cov, knn, jsd_between_point_cloud_sets) — the in-suite pin
     of the trained-checkpoint parity run's metric-code-agreement half
-    (scripts/torch_parity_run.py; PERF.md)."""
+    (scripts/torch_parity_run.py; PERF.md).
+
+    All sys.path / sys.modules state (the CUDA-extension stubs AND every
+    module the reference import pulls in) is torn down afterwards so
+    nothing leaks into later tests in the session."""
     torch = pytest.importorskip("torch")
     import types
 
-    sys.path.insert(0, REF)
+    modules_before = set(sys.modules)
+    monkeypatch.syspath_prepend(REF)
     for name in ("pointops_cuda", "structural_loss_cuda", "emd_cuda",
                  "evaluation.StructuralLosses",
                  "evaluation.StructuralLosses.match_cost",
@@ -196,13 +208,21 @@ def test_metric_suite_agrees_with_reference_metric_code(cloud_sets):
         m = types.ModuleType(name)
         m.match_cost = lambda *a: None
         m.nn_distance = lambda *a: None
-        sys.modules.setdefault(name, m)
-    try:
-        from evaluation.evaluation_metrics import (
-            distChamfer, jsd_between_point_cloud_sets as ref_jsd,
-            knn as ref_knn, lgan_mmd_cov as ref_mmd_cov)
-    finally:
-        sys.path.remove(REF)
+        if name not in sys.modules:
+            monkeypatch.setitem(sys.modules, name, m)
+    # the import below registers the real `evaluation*` package modules;
+    # drop whatever it added once the test ends (monkeypatch only
+    # restores the keys it set itself)
+    def _drop_new_modules():
+        for name in set(sys.modules) - modules_before:
+            if name == "evaluation" or name.startswith("evaluation."):
+                sys.modules.pop(name, None)
+
+    request.addfinalizer(_drop_new_modules)
+
+    from evaluation.evaluation_metrics import (
+        distChamfer, jsd_between_point_cloud_sets as ref_jsd,
+        knn as ref_knn, lgan_mmd_cov as ref_mmd_cov)
 
     sample, ref = cloud_sets
     ours = compute_all_metrics(sample, ref, tile=6, with_emd=False)
