@@ -23,6 +23,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Dict, Sequence, Tuple
 
@@ -79,9 +80,90 @@ class GANState(flax.struct.PyTreeNode):
     step: jnp.ndarray
 
 
+# 1-D offset alignment for the flat-Adam bundles: fp32/bf16 arrays tile
+# as (8, 128) on TPU, so a slice/concat at a non-multiple-of-1024 offset
+# pays a lane/sublane relayout per leaf (measured: unaligned bundling is
+# 1.8x SLOWER than per-tensor adam; aligned bundling is the win).
+_ALIGN = 1024
+
+
+def _flatten_like(treedef, shapes, spans, tree):
+    """Concatenate a tree's leaves into one 1-D array per dtype group,
+    zero-padding each leaf to the alignment boundary."""
+    leaves = treedef.flatten_up_to(tree)
+    groups = {}
+    for leaf, (dt, lo, hi, padded) in zip(leaves, spans):
+        flat = jnp.ravel(leaf)
+        if padded != flat.size:
+            flat = jnp.pad(flat, (0, padded - flat.size))
+        groups.setdefault(dt, []).append(flat)
+    return {dt: jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            for dt, parts in groups.items()}
+
+
+def _unflatten_like(treedef, shapes, spans, flat):
+    """Inverse of :func:`_flatten_like` (drops the alignment padding)."""
+    leaves = []
+    for shape, (dt, lo, hi, _) in zip(shapes, spans):
+        leaves.append(jax.lax.slice(flat[dt], (lo,), (hi,)).reshape(shape))
+    return treedef.unflatten(leaves)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam(lr, betas=(0.5, 0.999)) — reference models/PDGNet_v2.py:121-125."""
-    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+    """Adam(lr, betas=(0.5, 0.999)) — reference models/PDGNet_v2.py:121-125.
+
+    ``PDGN_FLAT_ADAM=1`` opts into running Adam's *math* on flattened
+    per-dtype bundles (bit-identical floats, same stored per-tensor
+    state schema). Measured and NOT the default (PERF.md round 5): the
+    per-tensor form costs ~10.6 ms/step across ~4,200 tiny ops, and
+    bundling wins standalone once the spans are tile-aligned (11.2 vs
+    13.4 ms wall) — but IN-STEP it loses (13.86 -> 12.26 steps/s even
+    aligned) because the bundles defeat XLA's donated-buffer aliasing
+    of the moment arrays and add a full materialise/split round trip.
+    Kept behind the flag as the measured negative result.
+    """
+    if os.environ.get("PDGN_FLAT_ADAM", "") in ("", "0"):
+        return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+    inner = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+    def init(params):
+        return inner.init(params)
+
+    def update(updates, state, params=None):
+        del params  # adam's update is parameter-independent
+        adam_state, tail = state[0], state[1:]
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        shapes = [l.shape for l in leaves]
+        offsets = {}
+        spans = []
+        for leaf in leaves:
+            dt = str(jnp.result_type(leaf))  # str: stable pytree dict key
+            lo = offsets.get(dt, 0)
+            padded = -(-leaf.size // _ALIGN) * _ALIGN
+            offsets[dt] = lo + padded
+            spans.append((dt, lo, lo + leaf.size, padded))
+        args = (treedef, shapes, spans)
+
+        flat_state = (
+            optax.ScaleByAdamState(
+                count=adam_state.count,
+                mu=_flatten_like(*args, adam_state.mu),
+                nu=_flatten_like(*args, adam_state.nu),
+            ),
+        ) + tail
+        flat_updates, flat_new = inner.update(
+            _flatten_like(*args, updates), flat_state)
+        new_adam = flat_new[0]
+        new_state = (
+            optax.ScaleByAdamState(
+                count=new_adam.count,
+                mu=_unflatten_like(*args, new_adam.mu),
+                nu=_unflatten_like(*args, new_adam.nu),
+            ),
+        ) + tuple(flat_new[1:])
+        return _unflatten_like(*args, flat_updates), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_state(

@@ -12,6 +12,8 @@ Modes (all at training shapes, defaults B=35, fp32):
   shape  shape-preserving loss fwd+bwd on four random clouds
          (pdgn_tpu.losses.shape_preserving_loss, k=20)
   step   the full GAN train step (pdgn_tpu.train.make_train_step)
+  samp   the production sampling forward (bf16 generator, B=128 —
+         override with --batch) for the epilogue/stage attribution
 
 Each mode compiles its program, warms it up, runs ``--iters`` executions
 under ``jax.profiler.trace`` (forcing completion through the axon relay
@@ -161,8 +163,34 @@ def build_step(batch):
     return run
 
 
+def build_samp(batch):
+    """Production sampling configuration: bf16 compute path, fp32
+    params/statistics/heads (bench.py's child_sampling single batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdgn_tpu.models import PointGenerator
+
+    if batch == 35:      # mode default: sampling runs at B=128
+        batch = 128
+    model = PointGenerator(dtype="bfloat16", **_gen_kwargs())
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((batch, 128)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 128))
+
+    @jax.jit
+    def run(params, batch_stats, z):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, z,
+            mutable=["batch_stats"])
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+    return (lambda: run(variables["params"], variables["batch_stats"], z))
+
+
 BUILDERS = {"gfwd": build_gfwd, "gbwd": build_gbwd,
-            "shape": build_shape, "step": build_step}
+            "shape": build_shape, "step": build_step,
+            "samp": build_samp}
 
 
 def parse_trace(path: str, iters: int = 1):

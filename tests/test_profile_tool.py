@@ -65,4 +65,5 @@ def test_parse_host_only_trace_drops_python_frames(tmp_path):
 
 def test_builders_registry_complete():
     tool = _load_tool()
-    assert set(tool.BUILDERS) == {"gfwd", "gbwd", "shape", "step"}
+    assert set(tool.BUILDERS) == {"gfwd", "gbwd", "shape", "step",
+                              "samp"}

@@ -144,3 +144,53 @@ def test_batched_sampler_matches_single(setup):
         # scan vs standalone are separately compiled programs: BN stats
         # chains amplify reduction-order differences to ~1e-5 abs
         np.testing.assert_allclose(stacked[i], single, rtol=2e-3, atol=1e-5)
+
+
+def test_flat_adam_bit_equals_plain_optax(monkeypatch):
+    """PDGN_FLAT_ADAM=1 runs Adam's math on flattened per-dtype bundles
+    (kept as a measured opt-in negative result — in-step it loses to
+    donated-buffer aliasing, PERF.md round 5). The elementwise math must
+    be BIT-identical to plain optax.adam, and the stored state must keep
+    the per-tensor chain(scale_by_adam, scale) schema that checkpoints
+    and the torch converter pin."""
+    import numpy as np
+    import optax
+
+    from pdgn_tpu.train.train_step import make_optimizer
+
+    monkeypatch.setenv("PDGN_FLAT_ADAM", "1")
+    cfg = TrainConfig()
+    flat_opt = make_optimizer(cfg)
+    plain_opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+    rng = np.random.RandomState(0)
+    params = {
+        "dense": {"kernel": jnp.asarray(rng.randn(17, 33), jnp.float32),
+                  "bias": jnp.asarray(rng.randn(33), jnp.float32)},
+        "bn": {"scale": jnp.asarray(rng.rand(5), jnp.float32),
+               # a second dtype exercises the per-dtype bundling
+               "half": jnp.asarray(rng.randn(9, 4), jnp.bfloat16)},
+    }
+    s_flat = flat_opt.init(params)
+    s_plain = plain_opt.init(params)
+    # identical state schema (per-tensor mu/nu trees, shared count)
+    assert isinstance(s_flat[0], optax.ScaleByAdamState)
+    assert (jax.tree_util.tree_structure(s_flat[0].mu)
+            == jax.tree_util.tree_structure(params))
+
+    p_flat, p_plain = params, params
+    for i in range(3):
+        grads = jax.tree.map(
+            lambda p: (jnp.asarray(
+                rng.randn(*p.shape), jnp.float32) * 0.1).astype(p.dtype),
+            params)
+        u_flat, s_flat = jax.jit(flat_opt.update)(grads, s_flat, p_flat)
+        u_plain, s_plain = jax.jit(plain_opt.update)(grads, s_plain, p_plain)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        p_plain = optax.apply_updates(p_plain, u_plain)
+        for a, b in zip(jax.tree_util.tree_leaves(p_flat),
+                        jax.tree_util.tree_leaves(p_plain)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s_flat),
+                        jax.tree_util.tree_leaves(s_plain)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
