@@ -275,6 +275,16 @@ def _run_children(names) -> int:
     """``--child a,b,c``: run measurements in-process, one flushed JSON
     record line each. Exit code is always 0 (a crash is a record)."""
     for name in names:
+        # orchestration-test fault injection (tests/test_bench.py):
+        # hang or crash the child right before the named measurement
+        if os.environ.get("PDGN_BENCH_FAKE_HANG") == name:
+            time.sleep(86400)
+        if os.environ.get("PDGN_BENCH_FAKE_CRASH") == name:
+            os._exit(17)
+        if os.environ.get("PDGN_BENCH_FAKE_FAIL") == name:
+            print(json.dumps({"ok": False, "error": "injected failure",
+                              "name": name, "elapsed_s": 0.0}), flush=True)
+            continue
         t0 = time.perf_counter()
         try:
             rec = _CHILDREN[name]()
@@ -453,14 +463,25 @@ def main() -> int:
             return _emit(samp["value"], extras)
         return None
 
+    def note_fail(name, why):
+        """The current measurement produced no record: mark it 'error'
+        (note_skip marks the never-launched rest) — never silently."""
+        if name != "probe":
+            extras[_SECONDARY_KEYS.get(name, name)] = "error: " + why
+
     pending = list(plan)
-    while pending and launches_left > 0 and fail_reason is None:
+    stream = None
+    # NOT gated on fail_reason: a sampling ok=False keeps the loop alive
+    # for the secondaries, and a subsequent flap may still relaunch them.
+    while pending and launches_left > 0:
         launches_left -= 1
         stream = _ChildStream(pending)
         relaunch = False
         while pending:
             name = pending[0]
-            cap = probe_cap if name == "probe" else _HANG_CAPS[name]
+            cap = probe_cap if name == "probe" else float(os.environ.get(
+                f"PDGN_BENCH_HANG_CAP_{name.upper()}_S",
+                _HANG_CAPS[name]))
             wait = min(cap, remaining() - 5)
             if wait <= 0:
                 if fail_reason is None and name in ("probe", "sampling"):
@@ -476,8 +497,10 @@ def main() -> int:
                 if name == "probe" and launches_left > 0:
                     relaunch = True  # dead-at-start tunnel: retry probe
                 else:
-                    fail_reason = (f"{name}: no result in {wait:.0f}s "
-                                   "(backend hang)")
+                    why = (f"{name}: no result in {wait:.0f}s "
+                           "(backend hang)")
+                    fail_reason = fail_reason or why
+                    note_fail(name, why)
                     note_skip(pending[1:], "backend hang at " + name)
                     pending = []
                 break
@@ -488,8 +511,10 @@ def main() -> int:
                     if "probe" not in pending:
                         pending = ["probe"] + pending  # re-verify liveness
                 else:
-                    fail_reason = f"child crashed at {name}: {tail}"
-                    note_skip(pending, "child crash")
+                    why = f"child crashed at {name}: {tail}"
+                    fail_reason = fail_reason or why
+                    note_fail(name, why)
+                    note_skip(pending[1:], "child crash at " + name)
                     pending = []
                 break
             if rec.get("name") != name:
@@ -502,20 +527,23 @@ def main() -> int:
                     pending = plan[:]  # full retry after backoff
                     time.sleep(backoff)
                 else:
-                    fail_reason = ("probe failed: "
-                                   + rec.get("error", "not ok"))
+                    fail_reason = fail_reason or (
+                        "probe failed: " + rec.get("error", "not ok"))
+                    note_skip(pending, "probe failed")
                     pending = []
                 break
             absorb(name, rec)
             if name != "probe":
                 emit_progress()
             if name == "sampling" and not rec.get("ok"):
-                fail_reason = ("sampling failed after probe OK: "
-                               + rec.get("error", "?"))
+                fail_reason = fail_reason or (
+                    "sampling failed after probe OK: "
+                    + rec.get("error", "?"))
                 # keep going: secondaries still carry information
         if not relaunch:
             break
-    stream.kill()
+    if stream is not None:
+        stream.kill()
 
     if not results.get("probe", {}).get("ok"):
         extras["bench_wall_s"] = round(time.time() - t_start, 1)
@@ -530,7 +558,11 @@ def main() -> int:
         _fallback_error_record(extras, fail_reason
                                or "sampling did not complete")
         return 0
-    if not _smoke() and final["value"] > 0:
+    clean = fail_reason is None and all(
+        results.get(n, {}).get("ok") for n in plan)
+    if not _smoke() and final["value"] > 0 and clean:
+        # only a fully-clean pass may replace the checked-in last-live
+        # figures (a partial record would erase good train/eval numbers)
         _write_last_live(final)
     return 0
 

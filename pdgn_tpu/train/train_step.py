@@ -133,6 +133,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         del params  # adam's update is parameter-independent
         adam_state, tail = state[0], state[1:]
         leaves, treedef = jax.tree_util.tree_flatten(updates)
+        # spans are keyed on the UPDATE leaf dtype and reused for mu/nu
+        # (whose dtype follows the params): a mismatch would make
+        # jnp.concatenate silently promote the stored moments, drifting
+        # the opt_state schema from optax.adam's — refuse loudly instead
+        for u, m in zip(leaves, treedef.flatten_up_to(adam_state.mu)):
+            if jnp.result_type(u) != jnp.result_type(m):
+                raise TypeError(
+                    "PDGN_FLAT_ADAM needs every update leaf dtype to "
+                    f"match its Adam moment dtype (got {jnp.result_type(u)}"
+                    f" update vs {jnp.result_type(m)} moment); use the "
+                    "default per-tensor adam for mixed-dtype updates")
         shapes = [l.shape for l in leaves]
         offsets = {}
         spans = []

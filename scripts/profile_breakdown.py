@@ -171,8 +171,6 @@ def build_samp(batch):
 
     from pdgn_tpu.models import PointGenerator
 
-    if batch == 35:      # mode default: sampling runs at B=128
-        batch = 128
     model = PointGenerator(dtype="bfloat16", **_gen_kwargs())
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((batch, 128)))
@@ -191,6 +189,16 @@ def build_samp(batch):
 BUILDERS = {"gfwd": build_gfwd, "gbwd": build_gbwd,
             "shape": build_shape, "step": build_step,
             "samp": build_samp}
+
+
+def resolve_batch(mode: str, batch):
+    """Per-mode default batch: samp profiles the production B=128
+    sampling configuration, every other mode the B=35 training shapes.
+    An explicit --batch (batch is not None) always wins — including
+    ``samp --batch 35``, which must profile B=35, not remap to 128."""
+    if batch is not None:
+        return batch
+    return 128 if mode == "samp" else 35
 
 
 def parse_trace(path: str, iters: int = 1):
@@ -238,7 +246,10 @@ def parse_trace(path: str, iters: int = 1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=sorted(BUILDERS) + ["parse"])
-    ap.add_argument("--batch", type=int, default=35)
+    # default is per-mode (samp profiles the production B=128 sampling
+    # config, everything else the B=35 training shapes); an explicit
+    # --batch always wins — None marks "flag omitted" unambiguously
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default="/tmp/pdgn_profile")
@@ -249,7 +260,7 @@ def main():
         rows, total = parse_trace(args.parse, args.iters)
     else:
         jax = _setup_jax()
-        run = BUILDERS[args.mode](args.batch)
+        run = BUILDERS[args.mode](resolve_batch(args.mode, args.batch))
         print(f"[{args.mode}] compiling/warming on "
               f"{jax.devices()[0]} ...", flush=True)
         float(run())

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -66,14 +67,29 @@ def run_job(name: str, cmd: str, timeout_s: float = 2400.0,
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/tmp/pdgn_tpu_jax_cache",
                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
+    # own session so a timeout can kill the WHOLE process group:
+    # shell=True + subprocess.run's timeout would SIGKILL only /bin/sh,
+    # leaving a compound command's real workload running (holding the
+    # single TPU busy) AND holding the stdout pipe, which wedges the
+    # post-kill communicate() forever.
+    proc = subprocess.Popen(cmd, shell=True, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT,
+                            start_new_session=True)
     try:
-        proc = subprocess.run(cmd, shell=True, cwd=REPO, env=env,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, timeout=timeout_s)
-        rc, out = proc.returncode, proc.stdout.decode(errors="replace")
-    except subprocess.TimeoutExpired as e:
+        out_b, _ = proc.communicate(timeout=timeout_s)
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
         rc = 124
-        out = (e.stdout or b"").decode(errors="replace")
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            out_b, _ = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            out_b = b""
+    out = (out_b or b"").decode(errors="replace")
     wall = round(time.time() - t0, 1)
     json_lines = []
     for line in out.splitlines():

@@ -121,6 +121,86 @@ def test_smoke_bf16_gated_off_by_default(tmp_path):
     assert "gan_steps_per_sec_b35_bf16g" not in rec["extras"]
 
 
+def test_hang_at_secondary_is_noted_never_silent():
+    """A backend hang AFTER sampling landed must keep the primary record
+    (value > 0, no top-level error) and mark the hung measurement itself
+    with an 'error:' note — not leave its key silently absent."""
+    rc, recs = _run({
+        "JAX_PLATFORMS": "cpu",
+        "PDGN_BENCH_SMOKE": "1",
+        "PDGN_BENCH_FAKE_HANG": "train",
+        "PDGN_BENCH_HANG_CAP_TRAIN_S": "5",
+        "PDGN_BENCH_PROBE_TIMEOUT_S": "120",
+        "PDGN_BENCH_BUDGET_S": "1100",
+    }, timeout=1200)
+    assert rc == 0
+    rec = recs[-1]
+    assert "error" not in rec
+    assert rec["value"] > 0
+    assert rec["extras"]["eval_cd_emd_pairs_per_sec"] > 0  # ran before
+    note = rec["extras"]["gan_steps_per_sec_b35"]
+    assert isinstance(note, str) and note.startswith("error:")
+    assert "hang" in note
+
+
+def test_crash_at_secondary_notes_it_and_the_rest():
+    """A child crash with no relaunch budget left must mark the crashed
+    measurement 'error:' and every never-launched one 'skipped:'."""
+    rc, recs = _run({
+        "JAX_PLATFORMS": "cpu",
+        "PDGN_BENCH_SMOKE": "1",
+        "PDGN_BENCH_FAKE_CRASH": "eval",
+        "PDGN_BENCH_PROBE_ATTEMPTS": "1",
+        "PDGN_BENCH_PROBE_TIMEOUT_S": "120",
+        "PDGN_BENCH_BUDGET_S": "1100",
+    }, timeout=1200)
+    assert rc == 0
+    rec = recs[-1]
+    assert "error" not in rec  # sampling landed: still the primary record
+    assert rec["value"] > 0
+    ev = rec["extras"]["eval_cd_emd_pairs_per_sec"]
+    assert isinstance(ev, str) and ev.startswith("error:")
+    tr = rec["extras"]["gan_steps_per_sec_b35"]
+    assert isinstance(tr, str) and tr.startswith("skipped:")
+
+
+def test_sampling_failure_still_relaunches_for_secondaries():
+    """After a sampling ok=False the loop must keep serving (and, on a
+    flap, RELAUNCHING) the secondaries; the final fallback record keeps
+    the ORIGINAL sampling error and notes every missing measurement."""
+    rc, recs = _run({
+        "JAX_PLATFORMS": "cpu",
+        "PDGN_BENCH_SMOKE": "1",
+        "PDGN_BENCH_FAKE_FAIL": "sampling",
+        "PDGN_BENCH_FAKE_CRASH": "eval",
+        "PDGN_BENCH_PROBE_ATTEMPTS": "2",
+        "PDGN_BENCH_PROBE_TIMEOUT_S": "120",
+        "PDGN_BENCH_BUDGET_S": "1100",
+    }, timeout=1200)
+    assert rc == 0
+    rec = recs[-1]
+    assert rec["value"] == 0.0
+    assert "sampling failed after probe OK: injected" in rec["error"]
+    ev = rec["extras"]["eval_cd_emd_pairs_per_sec"]
+    assert isinstance(ev, str) and ev.startswith("error:")
+    tr = rec["extras"]["gan_steps_per_sec_b35"]
+    assert isinstance(tr, str) and tr.startswith("skipped:")
+
+
+def test_zero_probe_attempts_still_emits_record():
+    """PDGN_BENCH_PROBE_ATTEMPTS=0 (nothing may launch) must degrade to
+    the structured error record at rc 0, not an UnboundLocalError."""
+    rc, recs = _run({
+        "JAX_PLATFORMS": "cpu",
+        "PDGN_BENCH_SMOKE": "1",
+        "PDGN_BENCH_PROBE_ATTEMPTS": "0",
+    }, timeout=120)
+    assert rc == 0
+    rec = recs[-1]
+    assert rec["value"] == 0.0
+    assert "error" in rec
+
+
 def test_budget_exhaustion_skips_but_still_records():
     """A tiny post-probe budget must yield a parseable record with the
     skipped measurements noted, not a timeout with an empty tail."""

@@ -67,3 +67,14 @@ def test_builders_registry_complete():
     tool = _load_tool()
     assert set(tool.BUILDERS) == {"gfwd", "gbwd", "shape", "step",
                               "samp"}
+
+
+def test_batch_defaults_are_per_mode_and_explicit_flag_wins():
+    tool = _load_tool()
+    assert tool.resolve_batch("samp", None) == 128
+    assert tool.resolve_batch("step", None) == 35
+    assert tool.resolve_batch("gbwd", None) == 35
+    # an explicit request must never be remapped (samp --batch 35 used
+    # to silently profile B=128 while labeled as the user's config)
+    assert tool.resolve_batch("samp", 35) == 35
+    assert tool.resolve_batch("step", 128) == 128

@@ -66,3 +66,37 @@ def test_failing_and_timing_out_jobs_still_leave_records(tmp_path,
     assert rec["rc"] == 124
     with open(tmp_path / "queue" / "slow.json") as f:
         assert json.load(f)["rc"] == 124
+
+
+def test_timeout_kills_the_whole_process_group(tmp_path, monkeypatch):
+    """A compound-command job forks its real workload under /bin/sh; the
+    per-job timeout must kill the WHOLE group (a sh-only kill leaves the
+    workload holding the TPU and the stdout pipe, wedging the runner)."""
+    import time
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import run_queue
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setattr(run_queue, "OUT_DIR", str(tmp_path / "queue"))
+
+    pidfile = tmp_path / "grandchild.pid"
+    # the trailing '; true' forces sh to FORK python (no exec fast path)
+    cmd = (f"{sys.executable} -c \"import os,time; "
+           f"open('{pidfile}','w').write(str(os.getpid())); "
+           f"time.sleep(300)\" ; true")
+    t0 = time.time()
+    rec = run_queue.run_job("wedge", cmd, timeout_s=2, needs_tpu=False)
+    assert rec["rc"] == 124
+    assert time.time() - t0 < 30  # returned promptly, no pipe wedge
+    pid = int(pidfile.read_text())
+    for _ in range(50):
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        os.kill(pid, 9)  # clean up before failing
+        raise AssertionError("grandchild survived the job timeout")

@@ -146,6 +146,23 @@ def test_batched_sampler_matches_single(setup):
         np.testing.assert_allclose(stacked[i], single, rtol=2e-3, atol=1e-5)
 
 
+def test_flat_adam_refuses_mixed_dtype_updates(monkeypatch):
+    """The bundles are keyed on the UPDATE dtype and reused for the
+    moments (param dtype): a mismatch must raise, not silently promote
+    the stored mu/nu away from optax.adam's per-tensor schema."""
+    import pytest
+
+    from pdgn_tpu.train.train_step import make_optimizer
+
+    monkeypatch.setenv("PDGN_FLAT_ADAM", "1")
+    opt = make_optimizer(TrainConfig())
+    params = {"w": jnp.zeros((4, 4), jnp.bfloat16)}
+    state = opt.init(params)  # moments follow the param dtype (bf16)
+    grads = {"w": jnp.ones((4, 4), jnp.float32)}  # upstream-promoted
+    with pytest.raises(TypeError, match="moment dtype"):
+        opt.update(grads, state, params)
+
+
 def test_flat_adam_bit_equals_plain_optax(monkeypatch):
     """PDGN_FLAT_ADAM=1 runs Adam's math on flattened per-dtype bundles
     (kept as a measured opt-in negative result — in-step it loses to
